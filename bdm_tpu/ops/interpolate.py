@@ -1,0 +1,72 @@
+"""Three-nearest-neighbor inverse-distance interpolation.
+
+Reference: `functional/src/interpolate/neighbor_interpolate.cu:21-80` —
+for each query point, find its 3 nearest centers (squared L2, ties to the
+lowest index), clamp the squared distances to [1e-10, 1e10], and blend the
+center features with inverse-distance weights
+    w_i = prod_{j != i} d_j / (d0*d1 + d0*d2 + d1*d2).
+
+TPU design: brute-force (N, M) distance matrix + `lax.top_k` — at the
+reference's sizes (N <= 4096, M <= 1024) this is dense vector/matrix work
+that XLA tiles well; the backward (scatter-add to centers,
+`neighbor_interpolate.cu:110-181`) comes from autodiff of the gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
+    """Indices and inverse-distance weights of each point's 3 nearest centers.
+
+    Args:
+        points: (B, N, 3) query points.
+        centers: (B, M, 3) source centers (M >= 1).
+
+    Returns:
+        indices: (B, N, 3) int32.
+        weights: (B, N, 3) float32, rows sum to 1.
+    """
+    b, n, _ = points.shape
+    m = centers.shape[1]
+
+    d2 = jnp.zeros((b, n, m), dtype=jnp.float32)
+    for ax in range(3):
+        diff = points[..., ax][:, :, None] - centers[..., ax][:, None, :]
+        d2 = d2 + diff * diff
+
+    k = min(3, m)
+    neg_top, idx = jax.lax.top_k(-d2, k)  # top_k is stable: ties -> lowest index
+    best = -neg_top  # (B, N, k), ascending distances
+    if k < 3:  # degenerate M < 3: repeat the last center like a clamp
+        pad = 3 - k
+        best = jnp.concatenate([best] + [best[..., -1:]] * pad, axis=-1)
+        idx = jnp.concatenate([idx] + [idx[..., -1:]] * pad, axis=-1)
+
+    best = jnp.clip(best, 1e-10, 1e10)
+    d0, d1, d2_ = best[..., 0], best[..., 1], best[..., 2]
+    denom = d0 * d1 + d0 * d2_ + d1 * d2_
+    w = jnp.stack([d1 * d2_, d0 * d2_, d0 * d1], axis=-1) / denom[..., None]
+    return idx.astype(jnp.int32), w
+
+
+def three_nn_interpolate(points: jnp.ndarray, centers: jnp.ndarray,
+                         centers_features: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate center features onto query points via 3-NN IDW.
+
+    Args:
+        points: (B, N, 3).
+        centers: (B, M, 3).
+        centers_features: (B, M, C).
+
+    Returns:
+        (B, N, C).
+    """
+    idx, w = three_nn(points, centers)
+    b, n, _ = idx.shape
+    c = centers_features.shape[-1]
+    gathered = jnp.take_along_axis(
+        centers_features, idx.reshape(b, n * 3, 1), axis=1).reshape(b, n, 3, c)
+    return jnp.sum(gathered * w[..., None], axis=2)

@@ -1,0 +1,73 @@
+"""Furthest point sampling (FPS) and index gather.
+
+Reference semantics: `functional/src/sampling/sampling.cu:82-170` — start
+from point 0, then iteratively pick the point with the largest distance to
+the already-selected set (squared L2, running min-distance array, ties go to
+the lowest index).
+
+TPU design: FPS is inherently sequential in M, so it is a `lax.fori_loop`
+of M-1 steps over a resident (B, N) distance array — all vector work, no
+host sync. `gather` is `take_along_axis` (autodiff supplies the
+scatter-add backward of `sampling.cu:52-75`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e38)
+
+
+def furthest_point_sample(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Iterative furthest point sampling.
+
+    Args:
+        coords: (B, N, 3) float32 point coordinates.
+        num_samples: M, number of centers to select (static).
+
+    Returns:
+        (B, M) int32 indices into N. indices[:, 0] == 0 per the reference
+        kernel (`sampling.cu:103-105`).
+    """
+    b, n, _ = coords.shape
+    m = int(num_samples)
+
+    def body(j, carry):
+        dist, last, indices = carry
+        # Squared distance of every point to the last selected point.
+        d = jnp.sum((coords - last[:, None, :]) ** 2, axis=-1)  # (B, N)
+        dist = jnp.minimum(dist, d)
+        best = jnp.argmax(dist, axis=-1).astype(jnp.int32)  # (B,)
+        indices = indices.at[:, j].set(best)
+        last = jnp.take_along_axis(coords, best[:, None, None].astype(jnp.int32),
+                                   axis=1)[:, 0, :]
+        return dist, last, indices
+
+    indices0 = jnp.zeros((b, m), dtype=jnp.int32)
+    dist0 = jnp.full((b, n), _INF)
+    last0 = coords[:, 0, :]
+    if m == 1:
+        return indices0
+    _, _, indices = jax.lax.fori_loop(1, m, body, (dist0, last0, indices0))
+    return indices
+
+
+def gather(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-point features at the given indices.
+
+    Args:
+        features: (B, N, C).
+        indices: (B, M) int32.
+
+    Returns:
+        (B, M, C).
+    """
+    return jnp.take_along_axis(features, indices[..., None].astype(jnp.int32),
+                               axis=1)
+
+
+def fps_gather(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """FPS returning the sampled coordinates, like the reference's
+    `furthest_point_sample` wrapper (`functional/sampling.py:37-48`)."""
+    return gather(coords, furthest_point_sample(coords, num_samples))

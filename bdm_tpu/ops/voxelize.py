@@ -1,0 +1,149 @@
+"""Voxelization / devoxelization.
+
+Reference semantics:
+  * coordinate normalization — reference `modules/voxelization.py:16-25`
+  * avg_voxelize (scatter-mean)  — reference `functional/src/voxelization/vox.cu:19-121`
+  * trilinear_devoxelize         — reference `functional/src/interpolate/trilinear_devox.cu:22-109`
+
+TPU design: the scatter-mean is a `segment_sum` over flattened voxel ids
+(one flat id space across the batch so a single segment-sum serves all
+samples); the trilinear sample is a pure gather, so autodiff provides the
+scatter-add backward of `trilinear_devox.cu:119-160` for free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_coords(coords: jnp.ndarray, resolution: int, normalize: bool = True,
+                     eps: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map raw point coordinates into the voxel cube [0, R-1].
+
+    Replicates reference `modules/voxelization.py:16-25`: center by the mean,
+    scale by twice the max point norm (so the cloud fits in [0, 1]), shift by
+    0.5, scale to voxel units and clamp.
+
+    Args:
+        coords: (B, N, 3) raw point coordinates.
+        resolution: voxel grid resolution R.
+        normalize: if False, assumes coords already in [-1, 1].
+        eps: small constant added to the normalizer.
+
+    Returns:
+        norm_coords: (B, N, 3) float coords in [0, R-1] (input to trilinear
+            devoxelization).
+        vox_coords: (B, N, 3) int32 rounded coords (input to avg_voxelize).
+    """
+    coords = jax.lax.stop_gradient(coords)
+    centered = coords - coords.mean(axis=1, keepdims=True)
+    if normalize:
+        # max over points of the L2 norm, per sample
+        norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)  # (B, N, 1)
+        denom = norm.max(axis=1, keepdims=True) * 2.0 + eps  # (B, 1, 1)
+        norm_coords = centered / denom + 0.5
+    else:
+        norm_coords = (centered + 1.0) / 2.0
+    norm_coords = jnp.clip(norm_coords * resolution, 0.0, resolution - 1)
+    vox_coords = jnp.round(norm_coords).astype(jnp.int32)
+    return norm_coords, vox_coords
+
+
+def _flat_voxel_ids(vox_coords: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Flatten (B, N, 3) integer voxel coords to (B, N) ids in [0, R^3).
+
+    Uses the reference's x-major layout: id = x*R^2 + y*R + z
+    (`vox.cu:31`).
+    """
+    r = resolution
+    return (vox_coords[..., 0] * (r * r)
+            + vox_coords[..., 1] * r
+            + vox_coords[..., 2])
+
+
+def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
+                 resolution: int) -> jnp.ndarray:
+    """Scatter-mean point features into an R^3 voxel grid.
+
+    Matches `avg_voxelize` (`vox.cu:48-121`): each voxel holds the mean of
+    the features of the points that fall in it; empty voxels are zero. The
+    gradient (gather of grad/count) matches `avg_voxelize_grad_kernel`
+    because the primal is expressed as segment_sum / count.
+
+    Args:
+        features: (B, N, C).
+        vox_coords: (B, N, 3) int32 in [0, R).
+        resolution: R.
+
+    Returns:
+        (B, R, R, R, C) voxel grid.
+    """
+    b, n, c = features.shape
+    r3 = resolution ** 3
+    ids = _flat_voxel_ids(vox_coords, resolution)  # (B, N)
+    # One flat segment space across the batch: sample b's voxel v -> b*r3 + v.
+    flat_ids = (ids + jnp.arange(b, dtype=ids.dtype)[:, None] * r3).reshape(-1)
+    flat_feats = features.reshape(b * n, c)
+    sums = jax.ops.segment_sum(flat_feats, flat_ids, num_segments=b * r3)
+    counts = jax.ops.segment_sum(
+        jnp.ones((b * n,), dtype=features.dtype), flat_ids, num_segments=b * r3)
+    out = sums / jnp.maximum(counts, 1.0)[:, None]
+    return out.reshape(b, resolution, resolution, resolution, c)
+
+
+def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly sample a voxel grid at fractional point coordinates.
+
+    Matches `trilinear_devoxelize_kernel` (`trilinear_devox.cu:22-109`),
+    including its corner rule: the upper corner along an axis is lo+1 only
+    when the fractional part is strictly positive (the kernel encodes this
+    as `x_hi = (x_d_1 > 0) ? -1 : 0` and masks the stride with it), which
+    keeps indices in range because coords are pre-clamped to [0, R-1].
+
+    Args:
+        grid: (B, R, R, R, C) voxel features.
+        norm_coords: (B, N, 3) float coords in [0, R-1].
+
+    Returns:
+        (B, N, C) per-point features.
+    """
+    b, r, _, _, c = grid.shape
+    n = norm_coords.shape[1]
+
+    lo_f = jnp.floor(norm_coords)
+    frac = norm_coords - lo_f                      # (B, N, 3), in [0, 1)
+    lo = lo_f.astype(jnp.int32)                    # (B, N, 3)
+    step = (frac > 0).astype(jnp.int32)            # upper corner only if frac>0
+
+    flat = grid.reshape(b, r * r * r, c)
+    base = _flat_voxel_ids(lo, r)                  # (B, N)
+    strides = jnp.array([r * r, r, 1], dtype=jnp.int32)
+
+    out = jnp.zeros((b, n, c), dtype=grid.dtype)
+    # 8 corners, unrolled statically (XLA fuses the gathers).
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                offs = (dx * step[..., 0] * strides[0]
+                        + dy * step[..., 1] * strides[1]
+                        + dz * step[..., 2] * strides[2])
+                w = ((frac[..., 0] if dx else 1.0 - frac[..., 0])
+                     * (frac[..., 1] if dy else 1.0 - frac[..., 1])
+                     * (frac[..., 2] if dz else 1.0 - frac[..., 2]))
+                vals = jnp.take_along_axis(flat, (base + offs)[..., None], axis=1)
+                out = out + w[..., None] * vals
+    return out
+
+
+def point_to_voxel_to_point(features: jnp.ndarray, coords: jnp.ndarray,
+                            resolution: int, voxel_fn, normalize: bool = True,
+                            eps: float = 0.0) -> jnp.ndarray:
+    """Convenience: voxelize -> apply `voxel_fn` on the grid -> devoxelize.
+
+    This is the PVConv data path (`modules/pvconv.py:91-97`).
+    """
+    norm_coords, vox_coords = normalize_coords(coords, resolution, normalize, eps)
+    grid = avg_voxelize(features, vox_coords, resolution)
+    grid = voxel_fn(grid)
+    return trilinear_devoxelize(grid, norm_coords)

@@ -1,0 +1,219 @@
+"""Golden tests for the point-cloud ops against independent NumPy
+implementations of the documented CUDA semantics (SURVEY.md section 2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdm_tpu import ops
+
+
+# ---------------------------------------------------------------- numpy refs
+
+def np_fps(coords, m):
+    """Sequential FPS per `sampling.cu:82-170`."""
+    b, n, _ = coords.shape
+    out = np.zeros((b, m), dtype=np.int32)
+    for bi in range(b):
+        dist = np.full(n, 1e38, dtype=np.float32)
+        old = 0
+        for j in range(1, m):
+            d = np.sum((coords[bi] - coords[bi, old]) ** 2, axis=-1)
+            dist = np.minimum(dist, d)
+            old = int(np.argmax(dist))
+            out[bi, j] = old
+    return out
+
+
+def np_ball_query(centers, points, radius, u):
+    """Scan-order first-u semantics per `ball_query.cu:19-58`."""
+    b, m, _ = centers.shape
+    out = np.zeros((b, m, u), dtype=np.int32)
+    r2 = radius ** 2
+    for bi in range(b):
+        for j in range(m):
+            cnt = 0
+            for k in range(points.shape[1]):
+                d2 = np.sum((centers[bi, j] - points[bi, k]) ** 2)
+                if d2 < r2:
+                    if cnt == 0:
+                        out[bi, j, :] = k
+                    out[bi, j, cnt] = k
+                    cnt += 1
+                    if cnt == u:
+                        break
+    return out
+
+
+def np_avg_voxelize(features, vox_coords, r):
+    b, n, c = features.shape
+    out = np.zeros((b, r, r, r, c), dtype=np.float64)
+    cnt = np.zeros((b, r, r, r), dtype=np.int64)
+    for bi in range(b):
+        for i in range(n):
+            x, y, z = vox_coords[bi, i]
+            out[bi, x, y, z] += features[bi, i]
+            cnt[bi, x, y, z] += 1
+    nz = np.maximum(cnt, 1)
+    return (out / nz[..., None]).astype(np.float32)
+
+
+def np_trilinear_devox(grid, coords):
+    """Per `trilinear_devox.cu:37-104` incl. the frac>0 corner rule."""
+    b, r, _, _, c = grid.shape
+    n = coords.shape[1]
+    out = np.zeros((b, n, c), dtype=np.float32)
+    for bi in range(b):
+        for i in range(n):
+            x, y, z = coords[bi, i]
+            lo = np.floor([x, y, z]).astype(int)
+            fr = np.array([x, y, z]) - lo
+            hi = lo + (fr > 0)
+            for dx, xx in ((0, lo[0]), (1, hi[0])):
+                for dy, yy in ((0, lo[1]), (1, hi[1])):
+                    for dz, zz in ((0, lo[2]), (1, hi[2])):
+                        w = ((fr[0] if dx else 1 - fr[0])
+                             * (fr[1] if dy else 1 - fr[1])
+                             * (fr[2] if dz else 1 - fr[2]))
+                        out[bi, i] += w * grid[bi, xx, yy, zz]
+    return out
+
+
+def np_three_nn(points, centers):
+    b, n, _ = points.shape
+    idx = np.zeros((b, n, 3), dtype=np.int32)
+    w = np.zeros((b, n, 3), dtype=np.float32)
+    for bi in range(b):
+        d2 = np.sum((points[bi][:, None] - centers[bi][None]) ** 2, axis=-1)
+        order = np.argsort(d2, axis=-1, kind="stable")[:, :3]
+        best = np.take_along_axis(d2, order, axis=-1)
+        best = np.clip(best, 1e-10, 1e10)
+        d0, d1, d2_ = best[:, 0], best[:, 1], best[:, 2]
+        denom = d0 * d1 + d0 * d2_ + d1 * d2_
+        w[bi] = np.stack([d1 * d2_, d0 * d2_, d0 * d1], -1) / denom[:, None]
+        idx[bi] = order
+    return idx, w
+
+
+# -------------------------------------------------------------------- tests
+
+def test_fps_matches_reference(rng):
+    coords = rng.standard_normal((2, 128, 3)).astype(np.float32)
+    got = np.asarray(ops.furthest_point_sample(jnp.asarray(coords), 16))
+    want = np_fps(coords, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_first_index_is_zero(rng):
+    coords = rng.standard_normal((3, 64, 3)).astype(np.float32)
+    got = np.asarray(ops.furthest_point_sample(jnp.asarray(coords), 8))
+    assert (got[:, 0] == 0).all()
+
+
+def test_ball_query_matches_reference(rng):
+    points = rng.standard_normal((2, 200, 3)).astype(np.float32)
+    centers = points[:, ::10]  # 20 centers
+    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(points),
+                                    radius=0.4, num_neighbors=8))
+    want = np_ball_query(centers, points, 0.4, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_no_hit_is_zero(rng):
+    points = np.ones((1, 16, 3), dtype=np.float32) * 100.0
+    centers = np.zeros((1, 4, 3), dtype=np.float32)
+    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(points),
+                                    radius=0.1, num_neighbors=4))
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_avg_voxelize_matches_reference(rng):
+    feats = rng.standard_normal((2, 100, 5)).astype(np.float32)
+    vox = rng.integers(0, 4, size=(2, 100, 3)).astype(np.int32)
+    got = np.asarray(ops.avg_voxelize(jnp.asarray(feats), jnp.asarray(vox), 4))
+    want = np_avg_voxelize(feats, vox, 4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_avg_voxelize_grad_is_gather_over_count(rng):
+    feats = rng.standard_normal((1, 10, 2)).astype(np.float32)
+    vox = np.zeros((1, 10, 3), dtype=np.int32)  # all points in voxel 0
+    g = jax.grad(lambda f: ops.avg_voxelize(f, jnp.asarray(vox), 2).sum())(
+        jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g), 1.0 / 10.0, atol=1e-6)
+
+
+def test_trilinear_devoxelize_matches_reference(rng):
+    r = 4
+    grid = rng.standard_normal((2, r, r, r, 3)).astype(np.float32)
+    coords = rng.uniform(0, r - 1, size=(2, 50, 3)).astype(np.float32)
+    got = np.asarray(ops.trilinear_devoxelize(jnp.asarray(grid),
+                                              jnp.asarray(coords)))
+    want = np_trilinear_devox(grid, coords)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_trilinear_devoxelize_integer_coords_pick_exact_voxel(rng):
+    r = 3
+    grid = rng.standard_normal((1, r, r, r, 2)).astype(np.float32)
+    coords = np.array([[[2.0, 2.0, 2.0], [0.0, 1.0, 2.0]]], dtype=np.float32)
+    got = np.asarray(ops.trilinear_devoxelize(jnp.asarray(grid),
+                                              jnp.asarray(coords)))
+    np.testing.assert_allclose(got[0, 0], grid[0, 2, 2, 2], atol=1e-6)
+    np.testing.assert_allclose(got[0, 1], grid[0, 0, 1, 2], atol=1e-6)
+
+
+def test_three_nn_matches_reference(rng):
+    points = rng.standard_normal((2, 60, 3)).astype(np.float32)
+    centers = rng.standard_normal((2, 9, 3)).astype(np.float32)
+    idx, w = ops.three_nn(jnp.asarray(points), jnp.asarray(centers))
+    idx_ref, w_ref = np_three_nn(points, centers)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
+
+
+def test_three_nn_interpolate_exact_at_center(rng):
+    centers = rng.standard_normal((1, 8, 3)).astype(np.float32)
+    feats = rng.standard_normal((1, 8, 4)).astype(np.float32)
+    out = ops.three_nn_interpolate(jnp.asarray(centers), jnp.asarray(centers),
+                                   jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(out), feats, atol=1e-4)
+
+
+def test_grouping_shapes_and_values(rng):
+    feats = rng.standard_normal((2, 20, 6)).astype(np.float32)
+    idx = rng.integers(0, 20, size=(2, 5, 3)).astype(np.int32)
+    got = np.asarray(ops.grouping(jnp.asarray(feats), jnp.asarray(idx)))
+    assert got.shape == (2, 5, 3, 6)
+    for bi in range(2):
+        np.testing.assert_allclose(got[bi], feats[bi][idx[bi]])
+
+
+def test_normalize_coords_range(rng):
+    coords = rng.standard_normal((2, 100, 3)).astype(np.float32) * 5
+    norm, vox = ops.normalize_coords(jnp.asarray(coords), 32)
+    norm, vox = np.asarray(norm), np.asarray(vox)
+    assert norm.min() >= 0 and norm.max() <= 31
+    assert vox.min() >= 0 and vox.max() <= 31
+
+
+def _pipeline(coords, feats):
+    """Exercises every op in one jitted graph (the PVCNN SA/FP data path)."""
+    idx = ops.furthest_point_sample(coords, 8)
+    centers = ops.gather(coords, idx)
+    nbr = ops.ball_query(centers, coords, 0.5, 4)
+    grouped = ops.grouping(feats, nbr)
+    pooled = grouped.max(axis=2)
+    up = ops.three_nn_interpolate(coords, centers, pooled)
+    norm, vox = ops.normalize_coords(coords, 8)
+    grid = ops.avg_voxelize(up, vox, 8)
+    return ops.trilinear_devoxelize(grid, norm)
+
+
+def test_ops_are_jittable(rng):
+    coords = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((1, 64, 4)).astype(np.float32))
+    out = jax.jit(_pipeline)(coords, feats)
+    assert out.shape == (1, 64, 4)
