@@ -1,0 +1,407 @@
+"""PVCNN2: the PointNet++-with-voxel-convs U-Net used by PC2, PVD, and the
+BDM-Merging fusion towers.
+
+Block specs and builder control-flow replicate the reference exactly:
+  * specs        — `model/pvcnn/pvcnn.py:131-142` (same in
+                   `pvd/__init__.py:301-312`)
+  * SA builder   — `model/pvcnn/pvcnn_utils.py:72-127`: stage 0 gets ALL its
+                   PVConvs; later stages get only the first PVConv (with
+                   +embed_dim input channels); attention on odd stages'
+                   first conv; the final stage's SA module sees
+                   features+temb concatenated (k==0 path).
+  * FP builder   — `pvcnn_utils.py:130-168`: every FP stage is one
+                   PointNetFPModule followed by all its PVConvs; NO
+                   attention (the reference's `c < len(fp_blocks) - 1`
+                   check reads the shadowed local list, so it is always
+                   False — replicated here as a fixed False).
+  * forward      — `pvcnn.py:78-127`.
+
+Layout: channel-last. `inputs` is (B, N, 3 + S); outputs (B, N, out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bdm_tpu import ops
+from bdm_tpu.models.layers import (
+    SE,
+    Attention,
+    SharedMLP,
+    TimestepMLP,
+    get_timestep_embedding,
+    swish,
+)
+
+# (conv_configs, sa_configs) per stage; conv = (out_ch, num_blocks, voxel_res),
+# sa = (num_centers, radius, num_neighbors, mlp_channels)
+PVCNN_SA_BLOCKS = (
+    ((32, 2, 32), (1024, 0.1, 32, (32, 64))),
+    ((64, 3, 16), (256, 0.2, 32, (64, 128))),
+    ((128, 3, 8), (64, 0.4, 32, (128, 256))),
+    (None, (16, 0.8, 32, (256, 256, 512))),
+)
+# (fp_mlp_channels, conv_configs) per stage
+PVCNN_FP_BLOCKS = (
+    ((256, 256), (256, 3, 8)),
+    ((256, 256), (256, 3, 8)),
+    ((256, 128), (128, 2, 16)),
+    ((128, 128, 64), (64, 2, 32)),
+)
+
+
+# --------------------------------------------------------------------- specs
+
+@dataclass(frozen=True)
+class ConvSpec:
+    out_channels: int
+    resolution: int
+    attention: bool
+
+
+@dataclass(frozen=True)
+class SASpec:
+    num_centers: Optional[int]  # None -> global A-module
+    radius: float
+    num_neighbors: int
+    mlp: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class SAStageSpec:
+    convs: Tuple[ConvSpec, ...]
+    sa: SASpec
+    out_channels: int
+
+
+@dataclass(frozen=True)
+class FPStageSpec:
+    fp_mlp: Tuple[int, ...]
+    convs: Tuple[ConvSpec, ...]
+
+
+@dataclass(frozen=True)
+class PVCNN2Specs:
+    sa_stages: Tuple[SAStageSpec, ...]
+    fp_stages: Tuple[FPStageSpec, ...]
+    sa_in_channels: Tuple[int, ...]  # feature width entering each SA stage
+    channels_sa_features: int
+
+
+def build_pvcnn2_specs(sa_blocks=PVCNN_SA_BLOCKS, fp_blocks=PVCNN_FP_BLOCKS,
+                       extra_feature_channels: int = 3, use_att: bool = True,
+                       width_multiplier: int = 1,
+                       voxel_resolution_multiplier: int = 1) -> PVCNN2Specs:
+    """Replicates `create_pointnet2_sa_components` / `_fp_modules` channel
+    accounting (`pvcnn_utils.py:72-168`)."""
+    r, vr = width_multiplier, voxel_resolution_multiplier
+    in_channels = extra_feature_channels + 3
+
+    sa_stages, sa_in_channels = [], []
+    c = 0
+    for conv_configs, sa_configs in sa_blocks:
+        sa_in_channels.append(in_channels)
+        convs = []
+        if conv_configs is not None:
+            out_ch, num_blocks, res = conv_configs
+            out_ch = int(r * out_ch)
+            for p in range(num_blocks):
+                attention = ((c + 1) % 2 == 0) and use_att and p == 0
+                if c == 0 or p == 0:  # stage 0 keeps all convs; others first only
+                    convs.append(ConvSpec(out_ch, int(vr * res), attention))
+                in_channels = out_ch
+        num_centers, radius, num_neighbors, mlp = sa_configs
+        mlp = tuple(int(r * oc) for oc in mlp)
+        sa_stages.append(SAStageSpec(
+            convs=tuple(convs),
+            sa=SASpec(num_centers, radius, num_neighbors, mlp),
+            out_channels=mlp[-1],
+        ))
+        in_channels = mlp[-1]
+        c += 1
+
+    sa_in_channels[0] = extra_feature_channels
+    channels_sa_features = in_channels
+
+    fp_stages = []
+    for fp_mlp, conv_configs in fp_blocks:
+        fp_mlp = tuple(int(r * oc) for oc in fp_mlp)
+        convs = []
+        if conv_configs is not None:
+            out_ch, num_blocks, res = conv_configs
+            out_ch = int(r * out_ch)
+            # NOTE: attention is always False here; see module docstring.
+            convs.extend(ConvSpec(out_ch, int(vr * res), False)
+                         for _ in range(num_blocks))
+        fp_stages.append(FPStageSpec(fp_mlp=fp_mlp, convs=tuple(convs)))
+
+    return PVCNN2Specs(
+        sa_stages=tuple(sa_stages),
+        fp_stages=tuple(fp_stages),
+        sa_in_channels=tuple(sa_in_channels),
+        channels_sa_features=channels_sa_features,
+    )
+
+
+# ------------------------------------------------------------------- modules
+
+class PVConv(nn.Module):
+    """Point-voxel convolution (`modules/pvconv.py:65-97`): voxelize ->
+    [Conv3d k3 -> GN(8) -> Swish -> Dropout -> Conv3d k3 -> GN(8) ->
+    (Attention | Swish) -> SE] -> trilinear devoxelize, plus a pointwise
+    SharedMLP branch, summed."""
+
+    out_channels: int
+    resolution: int
+    attention: bool = False
+    dropout: float = 0.1
+    with_se: bool = True
+    with_se_relu: bool = True
+    normalize: bool = True
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        norm_coords, vox_coords = ops.normalize_coords(
+            coords, self.resolution, self.normalize, self.eps)
+        g = ops.avg_voxelize(features, vox_coords, self.resolution)
+
+        g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                    name="vconv0")(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm0")(g)
+        g = swish(g)
+        g = nn.Dropout(self.dropout, name="vdrop")(
+            g, deterministic=deterministic)
+        g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                    name="vconv1")(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1")(g)
+        if self.attention:
+            b, x, y, z, ch = g.shape
+            g = Attention(num_groups=8, name="vatt")(
+                g.reshape(b, x * y * z, ch)).reshape(b, x, y, z, ch)
+        else:
+            g = swish(g)
+        if self.with_se:
+            g = SE(use_relu=self.with_se_relu, name="se")(g)
+
+        voxel_features = ops.trilinear_devoxelize(g, norm_coords)
+        point_features = SharedMLP((self.out_channels,),
+                                   name="point_features")(features)
+        return voxel_features + point_features
+
+
+class PointNetSAModule(nn.Module):
+    """Set abstraction (`modules/pointnet.py:49-93`): FPS centers ->
+    ball-query grouping (relative coords concat) -> SharedMLP -> max-pool;
+    the timestep embedding is grouped and max-pooled alongside."""
+
+    num_centers: int
+    radius: float
+    num_neighbors: int
+    mlp: Sequence[int]
+    include_coordinates: bool = True
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 temb: jnp.ndarray):
+        idx = ops.furthest_point_sample(coords, self.num_centers)
+        centers = ops.gather(coords, idx)                      # (B, M, 3)
+        nbr = ops.ball_query(centers, coords, self.radius,
+                             self.num_neighbors)               # (B, M, U)
+        nbr_coords = ops.grouping(coords, nbr) - centers[:, :, None, :]
+        nbr_feats = ops.grouping(features, nbr)
+        if self.include_coordinates:
+            nbr_feats = jnp.concatenate([nbr_coords, nbr_feats], axis=-1)
+        f = SharedMLP(tuple(self.mlp), name="mlp")(nbr_feats)  # (B, M, U, C)
+        f = f.max(axis=2)
+        if temb.shape[-1] > 0:
+            temb = ops.grouping(temb, nbr).max(axis=2)
+        return f, centers, temb
+
+
+class PointNetAModule(nn.Module):
+    """Global set abstraction (`modules/pointnet.py:11-46`): MLP then
+    max-pool all points to a single center at the origin. Unused by the BDM
+    block specs but part of the op surface."""
+
+    mlp: Sequence[int]
+    include_coordinates: bool = True
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 temb: jnp.ndarray):
+        if self.include_coordinates:
+            features = jnp.concatenate([features, coords], axis=-1)
+        f = SharedMLP(tuple(self.mlp), name="mlp")(features)
+        f = f.max(axis=1, keepdims=True)                       # (B, 1, C)
+        centers = jnp.zeros((coords.shape[0], 1, 3), coords.dtype)
+        if temb.shape[-1] > 0:
+            temb = temb.max(axis=1, keepdims=True)
+        return f, centers, temb
+
+
+class PointNetFPModule(nn.Module):
+    """Feature propagation (`modules/pointnet.py:96-113`): 3-NN interpolate
+    coarse features (and temb) to the fine points, concat skip features,
+    SharedMLP."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, fine_coords: jnp.ndarray, coarse_coords: jnp.ndarray,
+                 coarse_features: jnp.ndarray,
+                 skip_features: Optional[jnp.ndarray],
+                 coarse_temb: jnp.ndarray):
+        idx, w = ops.three_nn(fine_coords, coarse_coords)
+
+        def interp(x):
+            b, n, _ = idx.shape
+            g = jnp.take_along_axis(x, idx.reshape(b, n * 3, 1),
+                                    axis=1).reshape(b, n, 3, x.shape[-1])
+            return jnp.sum(g * w[..., None], axis=2)
+
+        f = interp(coarse_features)
+        temb = interp(coarse_temb)
+        if skip_features is not None and skip_features.shape[-1] > 0:
+            f = jnp.concatenate([f, skip_features], axis=-1)
+        return SharedMLP(tuple(self.mlp), name="mlp")(f), fine_coords, temb
+
+
+# -------------------------------------------------------- encoder / decoder
+
+class PVCNNEncoder(nn.Module):
+    """The SA tower + optional global attention (`pvcnn.py:94-110`).
+
+    Returns the bottleneck (features, coords, temb) and the per-stage skip
+    lists needed by the decoder.
+    """
+
+    specs: PVCNN2Specs
+    use_att: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 temb: jnp.ndarray, deterministic: bool = True):
+        coords_list, in_features_list = [], []
+        for i, stage in enumerate(self.specs.sa_stages):
+            in_features_list.append(features)
+            coords_list.append(coords)
+            f = features if i == 0 else jnp.concatenate([features, temb],
+                                                        axis=-1)
+            for p, cs in enumerate(stage.convs):
+                f = PVConv(cs.out_channels, cs.resolution, cs.attention,
+                           dropout=self.dropout, name=f"sa{i}_conv{p}")(
+                    f, coords, deterministic)
+            sa = stage.sa
+            if sa.num_centers is None:
+                f, coords, temb = PointNetAModule(
+                    mlp=sa.mlp, name=f"sa{i}_pool")(f, coords, temb)
+            else:
+                # final stage (no convs, i>0): its SA consumes features+temb
+                # (builder k==0 path, `pvcnn_utils.py:118`)
+                f, coords, temb = PointNetSAModule(
+                    num_centers=sa.num_centers, radius=sa.radius,
+                    num_neighbors=sa.num_neighbors, mlp=sa.mlp,
+                    name=f"sa{i}_pool")(f, coords, temb)
+            features = f
+        if self.use_att:
+            features = Attention(num_groups=8, name="global_att")(features)
+        return features, coords, temb, coords_list, in_features_list
+
+
+class PVCNNDecoder(nn.Module):
+    """The FP tower + classifier head (`pvcnn.py:112-127`)."""
+
+    specs: PVCNN2Specs
+    out_channels: int
+    dropout: float = 0.1
+    classifier_init_scale: Optional[float] = 1e-6
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 temb: jnp.ndarray, coords_list, skip_list,
+                 deterministic: bool = True):
+        for fp_idx, stage in enumerate(self.specs.fp_stages):
+            fine_coords = coords_list[-1 - fp_idx]
+            skip = skip_list[-1 - fp_idx]
+            features, coords, temb = PointNetFPModule(
+                mlp=stage.fp_mlp, name=f"fp{fp_idx}_mlp")(
+                fine_coords, coords,
+                jnp.concatenate([features, temb], axis=-1), skip, temb)
+            for p, cs in enumerate(stage.convs):
+                features = PVConv(
+                    cs.out_channels, cs.resolution, cs.attention,
+                    dropout=self.dropout, name=f"fp{fp_idx}_conv{p}")(
+                    features, coords, deterministic)
+
+        # classifier: SharedMLP(128) -> Dropout -> Dense(out)
+        # (`pvcnn_utils.py:13-43` with out_channels=[128, dropout, out])
+        f = SharedMLP((128,), name="classifier_mlp")(features)
+        f = nn.Dropout(self.dropout, name="classifier_drop")(
+            f, deterministic=deterministic)
+        if self.classifier_init_scale is not None:
+            init = nn.initializers.normal(self.classifier_init_scale)
+            out = nn.Dense(self.out_channels, kernel_init=init,
+                           bias_init=init, name="classifier_out")(f)
+        else:
+            out = nn.Dense(self.out_channels, name="classifier_out")(f)
+        return out
+
+
+class PVCNN2(nn.Module):
+    """The full noise-prediction backbone (`pvcnn.py:10-150`).
+
+    __call__(inputs (B, N, 3+S), t (B,)) -> (B, N, out_channels).
+    Coordinates are the first 3 channels of `inputs`; the skip features at
+    the finest level are `inputs[..., 3:]` (`pvcnn.py:106`).
+    """
+
+    out_channels: int = 3
+    embed_dim: int = 64
+    extra_feature_channels: int = 3
+    use_att: bool = True
+    dropout: float = 0.1
+    width_multiplier: int = 1
+    voxel_resolution_multiplier: int = 1
+    sa_blocks: tuple = PVCNN_SA_BLOCKS
+    fp_blocks: tuple = PVCNN_FP_BLOCKS
+    # PC2 re-initializes the classifier head to N(0, 1e-6^2)
+    # (`point_cloud_model.py:38-39`); PVD keeps the default init.
+    classifier_init_scale: Optional[float] = 1e-6
+
+    def specs(self) -> PVCNN2Specs:
+        return build_pvcnn2_specs(
+            self.sa_blocks, self.fp_blocks, self.extra_feature_channels,
+            self.use_att, self.width_multiplier,
+            self.voxel_resolution_multiplier)
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, t: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        specs = self.specs()
+        n = inputs.shape[1]
+
+        temb = get_timestep_embedding(self.embed_dim, t)
+        temb = TimestepMLP(self.embed_dim, name="embedf")(temb)
+        temb = jnp.broadcast_to(temb[:, None, :],
+                                (temb.shape[0], n, temb.shape[-1]))
+
+        coords = inputs[..., :3]
+        features = inputs
+
+        feats, ccoords, ctemb, coords_list, skip_list = PVCNNEncoder(
+            specs=specs, use_att=self.use_att, dropout=self.dropout,
+            name="encoder")(features, coords, temb, deterministic)
+        skip_list[0] = inputs[..., 3:]
+
+        return PVCNNDecoder(
+            specs=specs, out_channels=self.out_channels, dropout=self.dropout,
+            classifier_init_scale=self.classifier_init_scale,
+            name="decoder")(feats, ccoords, ctemb, coords_list, skip_list,
+                            deterministic)

@@ -1,0 +1,242 @@
+"""PC2: the projection-conditioned point-cloud diffusion model.
+
+Functional rebuild of `ConditionalPointCloudDiffusionModel`
+(`model/model.py:23-317`) + `PointCloudProjectionModel`
+(`model/projection_model.py:19-231`).
+
+Key TPU improvement over the reference: the image conditioning map (colors
++ ViT features [+ mask/distance transform]) is computed ONCE per sample and
+closed over by the sampling scan; the reference re-runs its ViT at every
+one of the 1000 denoising steps (SURVEY.md section 3 hot-loop note). Only the
+point-dependent surface projection runs inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bdm_tpu.conditioning.cameras import PerspectiveCamera
+from bdm_tpu.conditioning.projection import surface_projection
+from bdm_tpu.diffusion import make_scheduler
+from bdm_tpu.models.feature_model import FeatureModel
+from bdm_tpu.models.pvcnn import PVCNN2
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionConfig:
+    """Mirrors `PointCloudProjectionModelConfig` (`config/structured.py:74-98`,
+    defaults `projection_model.py:21-42`)."""
+
+    image_size: int = 224
+    image_feature_model: str = "vit_small_patch16_224_msn"
+    use_local_colors: bool = True
+    use_local_features: bool = True
+    use_global_features: bool = False
+    use_mask: bool = False
+    use_distance_transform: bool = False
+    predict_shape: bool = True
+    predict_color: bool = False
+    process_color: bool = False
+    image_color_channels: int = 3
+    color_channels: int = 3
+    colors_mean: float = 0.5
+    colors_std: float = 0.5
+    scale_factor: float = 1.0
+    raster_point_radius: float = 0.0075
+    raster_points_per_pixel: int = 1
+
+    # diffusion (`PointCloudDiffusionModelConfig`, structured.py:102-111)
+    beta_start: float = 1e-5
+    beta_end: float = 8e-3
+    beta_schedule: str = "linear"
+    point_cloud_model: str = "pvcnn"
+    point_cloud_model_embed_dim: int = 64
+
+
+class PC2Model:
+    """Bundles the ViT feature model, the PVCNN2 backbone and the
+    schedulers. Parameters are an explicit dict:
+        {"feature_model": <flax tree>, "point_cloud_model": <flax tree>}.
+    """
+
+    def __init__(self, cfg: ProjectionConfig = ProjectionConfig(),
+                 sa_blocks=None, fp_blocks=None):
+        self.cfg = cfg
+        self._sa_blocks = sa_blocks
+        self._fp_blocks = fp_blocks
+        self.feature_model = FeatureModel(image_size=cfg.image_size,
+                                          model_name=cfg.image_feature_model)
+        # input channel accounting (`projection_model.py:66-78`)
+        in_channels = 3
+        if cfg.use_local_colors:
+            in_channels += cfg.image_color_channels
+        if cfg.use_local_features:
+            in_channels += self.feature_model.feature_dim
+        if cfg.use_global_features:
+            in_channels += self.feature_model.feature_dim
+        if cfg.use_mask:
+            in_channels += 2 if cfg.use_distance_transform else 1
+        if cfg.process_color:
+            in_channels += cfg.color_channels
+        self.in_channels = in_channels
+        self.out_channels = (3 if cfg.predict_shape else 0) + (
+            cfg.color_channels if cfg.predict_color else 0)
+
+        if cfg.point_cloud_model != "pvcnn":
+            raise NotImplementedError(cfg.point_cloud_model)
+        backbone_kwargs = {}
+        if sa_blocks is not None:
+            backbone_kwargs["sa_blocks"] = sa_blocks
+        if fp_blocks is not None:
+            backbone_kwargs["fp_blocks"] = fp_blocks
+        self.backbone = PVCNN2(
+            out_channels=self.out_channels,
+            embed_dim=cfg.point_cloud_model_embed_dim,
+            extra_feature_channels=in_channels - 3,
+            **backbone_kwargs,
+        )
+        self.schedulers = {
+            name: make_scheduler(name, cfg.beta_start, cfg.beta_end,
+                                 cfg.beta_schedule)
+            for name in ("ddpm", "ddim")
+        }
+        self.num_train_timesteps = self.schedulers["ddpm"].num_train_timesteps
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key: jax.Array, num_points: int = 128
+                    ) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        s = self.cfg.image_size
+        feat_params = self.feature_model.init(
+            k1, jnp.zeros((1, s, s, 3), jnp.float32))
+        pc_params = self.backbone.init(
+            k2, jnp.zeros((1, num_points, self.in_channels), jnp.float32),
+            jnp.zeros((1,), jnp.int32))
+        return {"feature_model": feat_params, "point_cloud_model": pc_params}
+
+    # ---------------------------------------------------------- conditioning
+    def conditioning_map(self, params, image: jnp.ndarray,
+                         mask: Optional[jnp.ndarray] = None,
+                         distance_transform: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+        """The per-pixel conditioning map, computed once per image
+        (`projection_model.py:110-125`). image: (B, H, W, 3) in [0, 1]."""
+        cfg = self.cfg
+        parts = []
+        if cfg.use_local_colors:
+            parts.append((image - cfg.colors_mean) / cfg.colors_std)
+        if cfg.use_local_features:
+            parts.append(self.feature_model.apply(
+                params["feature_model"], image))
+        if cfg.use_mask:
+            assert mask is not None
+            parts.append(mask.astype(jnp.float32))
+        if cfg.use_distance_transform:
+            assert distance_transform is not None, (
+                "distance transform is computed host-side (cv2) and passed "
+                "in the batch")
+            parts.append(distance_transform)
+        return jnp.concatenate(parts, axis=-1)
+
+    def x_t_input(self, x_t: jnp.ndarray, camera: PerspectiveCamera,
+                  cond_map: jnp.ndarray) -> jnp.ndarray:
+        """Concat [x_t | projected local features] per
+        `get_input_with_conditioning` (`projection_model.py:179-231`)."""
+        proj = surface_projection(
+            x_t[..., :3], camera, cond_map,
+            radius=self.cfg.raster_point_radius,
+            scale_factor=self.cfg.scale_factor)
+        return jnp.concatenate([x_t, proj], axis=-1)
+
+    def denoise(self, params, x_t, t, camera, cond_map,
+                deterministic: bool = True, rngs=None) -> jnp.ndarray:
+        """One eps prediction. t: (B,) int32."""
+        x_in = self.x_t_input(x_t, camera, cond_map)
+        return self.backbone.apply(params["point_cloud_model"], x_in, t,
+                                   deterministic=deterministic, rngs=rngs)
+
+    # -------------------------------------------------------------- training
+    def loss(self, params, batch: Dict[str, Any], key: jax.Array
+             ) -> jnp.ndarray:
+        """eps-MSE training loss (`model.py:75-121`)."""
+        cfg = self.cfg
+        x0 = batch["points"] * cfg.scale_factor
+        b = x0.shape[0]
+        k_t, k_noise, k_drop = jax.random.split(key, 3)
+        t = jax.random.randint(k_t, (b,), 0, self.num_train_timesteps)
+        noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
+        sched = self.schedulers["ddpm"]
+        x_t = sched.add_noise(x0, noise, t)
+        cond_map = self.conditioning_map(
+            params, batch["image"], batch.get("mask"),
+            batch.get("distance_transform"))
+        eps_pred = self.denoise(params, x_t, t, batch["camera"], cond_map,
+                                deterministic=False,
+                                rngs={"dropout": k_drop})
+        return jnp.mean((eps_pred - noise) ** 2)
+
+    # -------------------------------------------------------------- sampling
+    def _window_scan(self, params, x_t, camera, cond_map, timesteps,
+                     scheduler, key, eta: float = 0.0) -> jnp.ndarray:
+        """Scan the reverse process over a static list of timesteps."""
+        if len(timesteps) == 0:
+            return x_t
+        b = x_t.shape[0]
+        ts = jnp.asarray(timesteps, dtype=jnp.int32)
+        keys = jax.random.split(key, len(timesteps))
+
+        def body(x, inp):
+            t_scalar, k = inp
+            t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            eps = self.denoise(params, x, t, camera, cond_map)
+            if scheduler is self.schedulers["ddim"]:
+                x = scheduler.step(eps, t_scalar, x, key=k, eta=eta)
+            else:
+                x = scheduler.step(eps, t_scalar, x, k)
+            return x, None
+
+        out, _ = jax.lax.scan(body, x_t, (ts, keys))
+        return out
+
+    def sample(self, params, batch: Dict[str, Any], key: jax.Array,
+               num_points: int, scheduler: str = "ddpm",
+               num_inference_steps: int = 1000, eta: float = 0.0
+               ) -> jnp.ndarray:
+        """Full reverse loop from N(0, I) (`model.py:123-214`).
+        Returns (B, N, 3) points (unscaled)."""
+        sched = self.schedulers[scheduler]
+        timesteps = sched.set_timesteps(num_inference_steps)
+        b = batch["image"].shape[0]
+        k_init, k_loop = jax.random.split(key)
+        x_t = jax.random.normal(k_init, (b, num_points, 3), jnp.float32)
+        cond_map = self.conditioning_map(
+            params, batch["image"], batch.get("mask"),
+            batch.get("distance_transform"))
+        out = self._window_scan(params, x_t, batch["camera"], cond_map,
+                                list(timesteps), sched, k_loop, eta)
+        return out / self.cfg.scale_factor
+
+    def interaction_sample(self, params, x_t: jnp.ndarray,
+                           batch: Dict[str, Any], key: jax.Array,
+                           start_time: int, end_time: int,
+                           scheduler: str = "ddpm",
+                           num_inference_steps: int = 1000,
+                           eta: float = 0.0,
+                           cond_map: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+        """Partial reverse window over timesteps[S-start : S-end], given an
+        x_t (`model.py:216-291`). start/end are static ints."""
+        sched = self.schedulers[scheduler]
+        timesteps = sched.set_timesteps(num_inference_steps)
+        window = list(timesteps[num_inference_steps - start_time:
+                                num_inference_steps - end_time])
+        if cond_map is None:
+            cond_map = self.conditioning_map(
+                params, batch["image"], batch.get("mask"),
+                batch.get("distance_transform"))
+        return self._window_scan(params, x_t, batch["camera"], cond_map,
+                                 window, sched, key, eta)

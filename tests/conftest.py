@@ -1,16 +1,29 @@
 """Test configuration: force an 8-virtual-device CPU backend BEFORE jax
-initializes, so multi-chip sharding paths are exercised without TPUs."""
+initializes, so multi-chip sharding paths are exercised without TPUs.
+
+NOTE: this environment sets JAX_PLATFORMS=axon (a tunneled TPU) and the
+plugin overrides the env var, so we must force the platform through
+jax.config AFTER import — the env var alone is not honored.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA compiles dominate test runtime on small
+# hosts; cache them across pytest invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture
