@@ -1,0 +1,153 @@
+"""End-to-end sampler tests on tiny models (identity image features,
+small point counts, few inference steps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdm_tpu.samplers import (
+    BDMMergingModel,
+    PC2Model,
+    ProjectionConfig,
+    PVDModel,
+    bdm_blending,
+    bdm_merging,
+)
+from tests.test_models import TINY_FP, TINY_SA
+
+B, N, S = 2, 32, 16
+
+TINY_CFG = ProjectionConfig(
+    image_size=S,
+    image_feature_model="identity",
+    raster_point_radius=0.3,  # pixel pitch at 16px is 0.125 NDC
+    point_cloud_model_embed_dim=8,
+)
+
+
+def tiny_batch(rng):
+    from bdm_tpu.conditioning import PerspectiveCamera
+    return {
+        "points": jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32)),
+        "image": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+        "camera": PerspectiveCamera(
+            R=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+            T=jnp.broadcast_to(jnp.array([0.0, 0.0, 2.0]), (B, 3)),
+            focal_length=jnp.full((B, 2), 2.0),
+            principal_point=jnp.zeros((B, 2)),
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def pc2():
+    return PC2Model(TINY_CFG, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+
+
+@pytest.fixture(scope="module")
+def pc2_params(pc2):
+    return pc2.init_params(jax.random.PRNGKey(0), num_points=N)
+
+
+@pytest.fixture(scope="module")
+def pvd():
+    return PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+
+
+@pytest.fixture(scope="module")
+def pvd_params(pvd):
+    return pvd.init_params(jax.random.PRNGKey(1), num_points=N)
+
+
+def test_pc2_channel_accounting(pc2):
+    # identity features: 3 xyz + 3 colors + 3 identity "features"
+    assert pc2.in_channels == 9
+    assert pc2.out_channels == 3
+
+
+def test_pc2_loss_finite(pc2, pc2_params):
+    rng = np.random.default_rng(0)
+    loss = pc2.loss(pc2_params, tiny_batch(rng), jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
+def test_pc2_sample_shapes(pc2, pc2_params):
+    rng = np.random.default_rng(1)
+    out = pc2.sample(pc2_params, tiny_batch(rng), jax.random.PRNGKey(3),
+                     num_points=N, num_inference_steps=4)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pc2_interaction_window_matches_manual_slicing(pc2, pc2_params):
+    """A window [start, end) must step exactly timesteps[S-start:S-end]."""
+    rng = np.random.default_rng(2)
+    batch = tiny_batch(rng)
+    x = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(4)
+    out = pc2.interaction_sample(pc2_params, x, batch, key, start_time=4,
+                                 end_time=2, num_inference_steps=4)
+    assert out.shape == x.shape
+    # empty window is identity
+    same = pc2.interaction_sample(pc2_params, x, batch, key, start_time=2,
+                                  end_time=2, num_inference_steps=4)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(x))
+
+
+def test_pc2_ddim_sampling(pc2, pc2_params):
+    rng = np.random.default_rng(3)
+    out = pc2.sample(pc2_params, tiny_batch(rng), jax.random.PRNGKey(5),
+                     num_points=N, scheduler="ddim", num_inference_steps=4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pvd_window_and_loss(pvd, pvd_params):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    out = pvd.generate_window(pvd_params, x, start_time=3, final_time=0,
+                              key=jax.random.PRNGKey(6))
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    loss = pvd.loss(pvd_params, x, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+
+
+def test_bdm_blending_end_to_end(pc2, pc2_params, pvd, pvd_params):
+    rng = np.random.default_rng(5)
+    out = bdm_blending(pc2, pc2_params, pvd, pvd_params, tiny_batch(rng),
+                       jax.random.PRNGKey(8), num_points=N,
+                       milestones=[4, 3, 1, 0], roll_step=1,
+                       num_inference_steps=4)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bdm_merging_end_to_end(pc2, pc2_params, pvd, pvd_params):
+    rng = np.random.default_rng(6)
+    merge = BDMMergingModel(TINY_CFG, pc2=pc2, sa_blocks=TINY_SA,
+                            fp_blocks=TINY_FP)
+    merge_params = merge.init_from_pretrained(
+        jax.random.PRNGKey(9), pc2_params, pvd_params, num_points=N)
+    out = bdm_merging(merge, merge_params, pc2, pc2_params, pvd, pvd_params,
+                      tiny_batch(rng), jax.random.PRNGKey(10), num_points=N,
+                      milestones=[4, 3, 1, 0], roll_step=1,
+                      num_inference_steps=4)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_merging_loss_and_freeze_partition(pc2, pc2_params, pvd, pvd_params):
+    rng = np.random.default_rng(7)
+    merge = BDMMergingModel(TINY_CFG, pc2=pc2, sa_blocks=TINY_SA,
+                            fp_blocks=TINY_FP)
+    params = merge.init_from_pretrained(
+        jax.random.PRNGKey(11), pc2_params, pvd_params, num_points=N)
+    loss = merge.loss(params, tiny_batch(rng), jax.random.PRNGKey(12))
+    assert np.isfinite(float(loss))
+    # towers must equal the pretrained encoders after init_from_pretrained
+    fm = params["fusion_model"]["params"]
+    src = pc2_params["point_cloud_model"]["params"]["encoder"]
+    got = jax.tree_util.tree_leaves(fm["pc2_encoder"])
+    want = jax.tree_util.tree_leaves(src)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(got, want))
