@@ -1,0 +1,78 @@
+"""The training loop.
+
+Rebuild of the `main.py:183-303` epoch loop: jitted DP train step, grad
+clip/accumulation inside the optax chain, EMA, periodic checkpointing,
+NaN-loss hard stop (`main.py:231-234`), and metric logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from bdm_tpu.parallel.mesh import shard_batch
+from bdm_tpu.train.checkpoint import save_checkpoint
+from bdm_tpu.train.metrics import MetricLogger
+from bdm_tpu.train.state import TrainState
+from bdm_tpu.train.step import make_train_step
+
+
+class NaNLossError(RuntimeError):
+    pass
+
+
+def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
+               max_steps: int, key: jax.Array, mesh=None,
+               checkpoint_dir: Optional[str] = None,
+               checkpoint_freq: int = 1000, print_freq: int = 100,
+               log_step_freq: int = 20,
+               logger: Optional[MetricLogger] = None,
+               lr_schedule: Optional[Callable] = None,
+               callbacks: Optional[list] = None) -> TrainState:
+    """Run up to `max_steps` optimizer steps over an infinite batch iterator.
+
+    `data_iter` yields host batches; they are sharded onto the mesh here
+    (per-host loading + device sharding replaces DDP's per-process
+    DataLoader sharding).
+    """
+    step_fn = make_train_step(loss_fn, tx, mesh=mesh)
+    logger = logger or MetricLogger()
+    callbacks = callbacks or []
+
+    t_start = time.time()
+    start_step = int(state.step)
+    for batch in data_iter:
+        if int(state.step) >= max_steps:
+            break
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        step = int(state.step)
+
+        if step % log_step_freq == 0 or step == max_steps:
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # hard stop like the reference (`main.py:231-234`)
+                raise NaNLossError(f"Loss is {loss} at step {step}.")
+            logger.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
+            if lr_schedule is not None:
+                logger.update(lr=float(lr_schedule(step)))
+            logger.log_jsonl(step)
+
+        if step % print_freq == 0:
+            rate = (step - start_step) / max(1e-9, time.time() - t_start)
+            print(f"step {step}/{max_steps}  {logger}  ({rate:.2f} it/s)")
+
+        if checkpoint_dir is not None and step % checkpoint_freq == 0:
+            save_checkpoint(checkpoint_dir, state)
+
+        for cb in callbacks:
+            cb(step, state, metrics)
+
+    if checkpoint_dir is not None:
+        save_checkpoint(checkpoint_dir, state)
+    return state

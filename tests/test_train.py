@@ -1,0 +1,155 @@
+"""Training-layer tests: DP train step over an 8-device CPU mesh, freeze
+masks, EMA, schedules, checkpoint round-trip."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bdm_tpu.parallel import get_mesh, shard_batch
+from bdm_tpu.samplers import BDMMergingModel, PC2Model
+from bdm_tpu.train import (
+    MetricLogger,
+    create_train_state,
+    fusion_freeze_mask,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from bdm_tpu.train.optimizers import pc2_freeze_mask
+from tests.test_models import TINY_FP, TINY_SA
+from tests.test_samplers import TINY_CFG, tiny_batch, B, N
+
+
+def _pc2_and_params():
+    pc2 = PC2Model(TINY_CFG, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+    params = pc2.init_params(jax.random.PRNGKey(0), num_points=N)
+    return pc2, params
+
+
+def test_lr_schedules():
+    lin = make_lr_schedule("linear", lr=1.0, num_warmup_steps=10,
+                           num_training_steps=110)
+    assert float(lin(0)) == 0.0
+    assert np.isclose(float(lin(10)), 1.0)
+    assert np.isclose(float(lin(60)), 0.5)
+    assert np.isclose(float(lin(110)), 0.0)
+    cos = make_lr_schedule("cosine", lr=2.0, num_warmup_steps=0,
+                           num_training_steps=100)
+    assert np.isclose(float(cos(0)), 2.0)
+    assert np.isclose(float(cos(50)), 1.0)
+    assert np.isclose(float(cos(100)), 0.0, atol=1e-6)
+
+
+def test_train_step_decreases_on_fixed_batch():
+    pc2, params = _pc2_and_params()
+    mask = pc2_freeze_mask(params)
+    tx = make_optimizer(lr=1e-3, freeze_mask=mask)
+    state = create_train_state(params, tx)
+    step = make_train_step(pc2.loss, tx)
+    batch = tiny_batch(np.random.default_rng(0))
+    key = jax.random.PRNGKey(1)
+    state, m0 = step(state, batch, key)
+    for _ in range(5):
+        state, m = step(state, batch, key)  # same key: deterministic target
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 6
+
+
+def test_train_step_on_8_device_mesh():
+    """The multi-chip DP path: batch sharded over 8 virtual devices."""
+    assert jax.device_count() >= 8
+    mesh = get_mesh(8)
+    pc2, params = _pc2_and_params()
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(pc2.loss, tx, mesh=mesh)
+
+    rng = np.random.default_rng(1)
+    batch = tiny_batch(rng)
+    # pad batch to 8 on the batch axis so it shards evenly
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * (8 // B), axis=0), batch)
+    batch = shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_fusion_freeze_mask_blocks_tower_updates():
+    pc2, pc2_params = _pc2_and_params()
+    from bdm_tpu.samplers import PVDModel
+    pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+    pvd_params = pvd.init_params(jax.random.PRNGKey(3), num_points=N)
+    merge = BDMMergingModel(TINY_CFG, pc2=pc2, sa_blocks=TINY_SA,
+                            fp_blocks=TINY_FP)
+    params = merge.init_from_pretrained(jax.random.PRNGKey(4), pc2_params,
+                                        pvd_params, num_points=N)
+    mask = fusion_freeze_mask(params)
+    tx = make_optimizer(lr=1e-2, freeze_mask=mask)
+    state = create_train_state(params, tx)
+    step = make_train_step(merge.loss, tx)
+    batch = tiny_batch(np.random.default_rng(2))
+    # snapshot to host first: the train step donates its input state
+    before = jax.tree_util.tree_map(np.asarray,
+                                    params["fusion_model"]["params"])
+    state, _ = step(state, batch, jax.random.PRNGKey(5))
+    after = state.params["fusion_model"]["params"]
+    # frozen towers unchanged
+    for tower in ("pc2_encoder", "pvd_encoder"):
+        for a, b in zip(jax.tree_util.tree_leaves(before[tower]),
+                        jax.tree_util.tree_leaves(after[tower])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # trainable decoder moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before["decoder"]),
+                        jax.tree_util.tree_leaves(after["decoder"])))
+    assert moved
+
+
+def test_ema_updates_only_on_schedule():
+    pc2, params = _pc2_and_params()
+    tx = make_optimizer(lr=1e-2)
+    state = create_train_state(params, tx, use_ema=True, ema_decay=0.5,
+                               ema_update_every=2)
+    step = make_train_step(pc2.loss, tx)
+    batch = tiny_batch(np.random.default_rng(3))
+    e0 = jax.tree_util.tree_leaves(state.ema_params)[0].copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(6))  # step 1: no update
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    state, _ = step(state, batch, jax.random.PRNGKey(7))  # step 2: update
+    e2 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.array_equal(np.asarray(e0), np.asarray(e2))
+
+
+def test_checkpoint_roundtrip():
+    pc2, params = _pc2_and_params()
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(pc2.loss, tx)
+    batch = tiny_batch(np.random.default_rng(4))
+    state, _ = step(state, batch, jax.random.PRNGKey(8))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = save_checkpoint(d, state, config={"note": "test"})
+        assert os.path.exists(path)
+        fresh = create_train_state(params, tx)
+        restored = restore_checkpoint(path, fresh)
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_metric_logger():
+    ml = MetricLogger()
+    for v in (1.0, 2.0, 3.0):
+        ml.update(loss=v)
+    assert ml.meters["loss"].global_avg == 2.0
