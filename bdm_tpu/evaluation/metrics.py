@@ -1,0 +1,59 @@
+"""Chamfer distance and F-score, batched on device.
+
+Reference semantics:
+  * CD — `evaluation_cd.py:111-132`: both clouds recentered by their mean,
+    CD = mean-over-points of squared nearest-neighbor distance, summed over
+    both directions (PyTorch3D `chamfer_distance` default), reported x1000.
+  * F1 — `evaluation_f1.py:90-110`: precision/recall of min *squared*
+    distance < threshold (default 0.01), F = 2PR/(P+R).
+
+TPU design: one (N, M) distance matrix per pair via the |a|^2+|b|^2-2ab
+expansion (MXU matmul, HIGHEST precision for exact thresholds), min over
+rows/cols. At eval sizes (4096^2) this is a single fused kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_min_sqdist(a: jnp.ndarray, b: jnp.ndarray):
+    """Min squared distance from each point of `a` to `b` and vice versa.
+
+    a: (B, N, 3); b: (B, M, 3). Returns ((B, N), (B, M)).
+    """
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    ab = jnp.einsum("bnc,bmc->bnm", a, b,
+                    precision=jax.lax.Precision.HIGHEST)
+    d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
+    d2 = jnp.maximum(d2, 0.0)
+    return d2.min(axis=2), d2.min(axis=1)
+
+
+def chamfer_distance(pred: jnp.ndarray, gt: jnp.ndarray,
+                     recenter: bool = True) -> jnp.ndarray:
+    """Symmetric squared chamfer distance per batch element (B,).
+
+    Multiply by 1000 for the reference's reported scale."""
+    if recenter:
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        gt = gt - gt.mean(axis=1, keepdims=True)
+    d_pg, d_gp = pairwise_min_sqdist(pred, gt)
+    return d_pg.mean(axis=1) + d_gp.mean(axis=1)
+
+
+def fscore(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.01,
+           recenter: bool = True):
+    """F-score at a *squared*-distance threshold (reference default 0.01).
+
+    Returns (f1, precision, recall), each (B,)."""
+    if recenter:
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        gt = gt - gt.mean(axis=1, keepdims=True)
+    d_pg, d_gp = pairwise_min_sqdist(pred, gt)
+    precision = (d_pg < threshold).mean(axis=1)
+    recall = (d_gp < threshold).mean(axis=1)
+    f1 = 2.0 * precision * recall / jnp.maximum(precision + recall, 1e-8)
+    return f1, precision, recall

@@ -1,0 +1,46 @@
+"""Chamfer / F-score metric tests against brute-force numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_tpu.evaluation import chamfer_distance, fscore
+
+
+def _np_chamfer(a, b):
+    a = a - a.mean(0); b = b - b.mean(0)
+    d = ((a[:, None] - b[None]) ** 2).sum(-1)
+    return d.min(1).mean() + d.min(0).mean()
+
+
+def test_chamfer_matches_numpy(rng):
+    a = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 70, 3)).astype(np.float32)
+    got = np.asarray(chamfer_distance(jnp.asarray(a), jnp.asarray(b)))
+    want = [_np_chamfer(a[i], b[i]) for i in range(2)]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_chamfer_zero_for_identical(rng):
+    a = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    got = float(chamfer_distance(jnp.asarray(a), jnp.asarray(a))[0])
+    assert got < 1e-6
+
+
+def test_fscore_perfect_and_disjoint(rng):
+    a = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    f1, p, r = fscore(jnp.asarray(a), jnp.asarray(a))
+    assert float(f1[0]) > 0.999
+    far = a + 100.0
+    # recenter=True collapses the offset; use recenter=False to keep it
+    f1, p, r = fscore(jnp.asarray(a), jnp.asarray(far), recenter=False)
+    assert float(f1[0]) == 0.0
+
+
+def test_fscore_threshold_semantics(rng):
+    # one point exactly at sqdist 0.009 (inside) vs 0.011 (outside)
+    a = np.zeros((1, 1, 3), dtype=np.float32)
+    b_in = np.array([[[np.sqrt(0.009), 0, 0]]], dtype=np.float32)
+    b_out = np.array([[[np.sqrt(0.011), 0, 0]]], dtype=np.float32)
+    f_in, _, _ = fscore(jnp.asarray(a), jnp.asarray(b_in), recenter=False)
+    f_out, _, _ = fscore(jnp.asarray(a), jnp.asarray(b_out), recenter=False)
+    assert float(f_in[0]) == 1.0 and float(f_out[0]) == 0.0
