@@ -62,6 +62,28 @@ class PerspectiveCamera(NamedTuple):
         return x_ndc, y_ndc, z
 
 
+def camera_from_screen(r: np.ndarray, t: np.ndarray, focal_px: tuple,
+                       principal_px: tuple, image_size: int
+                       ) -> PerspectiveCamera:
+    """Build an NDC camera from screen-space intrinsics (PyTorch3D
+    `in_ndc=False` semantics, used by the Pix3D loader — `pix3d.py:152-159`).
+
+    For a square image of side S: f_ndc = f_px * 2/S and the principal
+    point maps left-edge->+1 / right-edge->-1: p_ndc = (S - 2*p_px)/S.
+    """
+    s = float(image_size)
+    fx, fy = focal_px
+    px, py = principal_px
+    return PerspectiveCamera(
+        R=jnp.asarray(r, jnp.float32)[None],
+        T=jnp.asarray(t, jnp.float32)[None],
+        focal_length=jnp.asarray([[fx * 2.0 / s, fy * 2.0 / s]],
+                                 dtype=jnp.float32),
+        principal_point=jnp.asarray(
+            [[(s - 2.0 * px) / s, (s - 2.0 * py) / s]], dtype=jnp.float32),
+    )
+
+
 def compute_extrinsic_matrix(azimuth: float, elevation: float,
                              distance: float) -> np.ndarray:
     """R2N2 metadata (azim, elev, dist) -> 4x4 world-to-camera matrix,
