@@ -1,0 +1,126 @@
+"""Shared CLI orchestration: model building, checkpoint wiring, sampling
+output layout. Used by main.py / main_blending.py / main_merging.py."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from bdm_tpu.config import ProjectConfig
+from bdm_tpu.data import get_dataset
+from bdm_tpu.samplers import BDMMergingModel, PC2Model, ProjectionConfig, \
+    PVDModel
+from bdm_tpu.train import make_lr_schedule, make_optimizer
+from bdm_tpu.train.checkpoint import load_params
+from bdm_tpu.utils import write_ply
+
+
+def projection_config(cfg: ProjectConfig) -> ProjectionConfig:
+    m = cfg.model
+    return ProjectionConfig(
+        image_size=int(m.image_size),
+        image_feature_model=m.image_feature_model,
+        use_local_colors=m.use_local_colors,
+        use_local_features=m.use_local_features,
+        use_global_features=m.use_global_features,
+        use_mask=m.use_mask,
+        use_distance_transform=m.use_distance_transform,
+        predict_shape=m.predict_shape,
+        predict_color=m.predict_color,
+        colors_mean=m.colors_mean,
+        colors_std=m.colors_std,
+        color_channels=m.color_channels,
+        scale_factor=float(m.scale_factor),
+        beta_start=m.beta_start,
+        beta_end=m.beta_end,
+        beta_schedule=m.beta_schedule,
+        point_cloud_model=m.point_cloud_model,
+        point_cloud_model_embed_dim=m.point_cloud_model_embed_dim,
+    )
+
+
+def build_pc2(cfg: ProjectConfig, ckpt: Optional[str] = None):
+    """Build the PC2 model; load params from an orbax checkpoint if given,
+    else randomly initialize."""
+    pc2 = PC2Model(projection_config(cfg))
+    params = pc2.init_params(jax.random.PRNGKey(cfg.run.seed),
+                             num_points=min(1024, cfg.dataset.max_points))
+    if ckpt:
+        restored = load_params(_params_path(ckpt), template=None)
+        params = _extract_params(restored, params)
+    return pc2, params
+
+
+def build_pvd(cfg: ProjectConfig, ckpt: Optional[str] = None):
+    pvd = PVDModel()
+    params = pvd.init_params(jax.random.PRNGKey(cfg.run.seed + 1),
+                             num_points=min(1024, cfg.dataset.max_points))
+    if ckpt:
+        restored = load_params(_params_path(ckpt), template=None)
+        params = _extract_params(restored, params)
+    return pvd, params
+
+
+def build_fusion(cfg: ProjectConfig, pc2, pc2_params, pvd_params,
+                 ckpt: Optional[str] = None):
+    merge = BDMMergingModel(projection_config(cfg), pc2=pc2)
+    params = merge.init_from_pretrained(
+        jax.random.PRNGKey(cfg.run.seed + 2), pc2_params, pvd_params,
+        num_points=min(1024, cfg.dataset.max_points))
+    if ckpt:
+        restored = load_params(_params_path(ckpt), template=None)
+        params = _extract_params(restored, params)
+    return merge, params
+
+
+def _params_path(ckpt: str) -> str:
+    """Accept either a bare params dir or a train checkpoint dir."""
+    return ckpt
+
+
+def _extract_params(restored, template):
+    """Train checkpoints store {'params': ...}; bare param saves store the
+    tree directly."""
+    if isinstance(restored, dict) and "params" in restored and \
+            set(restored.keys()) <= {"params", "ema_params", "opt_state",
+                                     "step"}:
+        return restored["params"]
+    return restored
+
+
+def resolve_milestones(cfg: ProjectConfig):
+    ms = cfg.aux_run.milestones
+    if ms is None:
+        # the canonical BDM schedule (`example_sample_blending.sh`)
+        ms = [1000, 968, 936, 872, 128, 64, 32, 0]
+    return [int(m) for m in ms]
+
+
+def sample_output_dirs(cfg: ProjectConfig, kind: str) -> tuple:
+    base = os.path.join(cfg.run.save_dir, cfg.run.name, kind)
+    pred = os.path.join(base, "pred", cfg.dataset.category)
+    gt = os.path.join(base, "gt", cfg.dataset.category)
+    os.makedirs(pred, exist_ok=True)
+    os.makedirs(gt, exist_ok=True)
+    return pred, gt
+
+
+def save_batch_outputs(pred_dir: str, gt_dir: str, batch, pred) -> None:
+    """Write pred/gt .ply pairs named by sequence_name (the reference's
+    layout, matched by the evaluation CLIs)."""
+    names = batch.get("sequence_name")
+    pred = np.asarray(pred)
+    gt = np.asarray(batch["points"])
+    for i in range(pred.shape[0]):
+        name = names[i] if names else f"sample_{i:05d}"
+        write_ply(os.path.join(pred_dir, f"{name}.ply"), pred[i])
+        write_ply(os.path.join(gt_dir, f"{name}.ply"), gt[i])
+
+
+def set_seed(seed: int) -> None:
+    import random
+    random.seed(seed)
+    np.random.seed(seed)

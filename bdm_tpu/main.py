@@ -1,0 +1,149 @@
+"""PC2 train / sample / vis entry point.
+
+Rebuild of `experiments/main.py` with the same job names and dotted-override
+CLI:
+
+    python -m bdm_tpu.main run.job=train dataset=shapenet_r2n2 \
+        dataset.root=... dataset.r2n2_dir=... dataset.category=chair \
+        dataset.max_points=4096 dataset.subset_ratio=0.1 \
+        dataloader.batch_size=16 run.max_steps=10000
+
+    python -m bdm_tpu.main run.job=sample checkpoint.resume=<orbax dir> ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from bdm_tpu.cli import (
+    build_pc2,
+    sample_output_dirs,
+    save_batch_outputs,
+    set_seed,
+)
+from bdm_tpu.config import ProjectConfig, parse_cli
+from bdm_tpu.config.structured import to_dict
+from bdm_tpu.data import get_dataset
+from bdm_tpu.parallel import get_mesh
+from bdm_tpu.train import (
+    MetricLogger,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    restore_checkpoint,
+    train_loop,
+)
+from bdm_tpu.train.checkpoint import save_checkpoint
+from bdm_tpu.train.optimizers import pc2_freeze_mask
+
+
+def train(cfg: ProjectConfig) -> None:
+    pc2, params = build_pc2(cfg, cfg.checkpoint.resume if not
+                            cfg.checkpoint.resume_training else None)
+    loader_train, loader_val, _ = get_dataset(cfg)
+    schedule = make_lr_schedule(
+        cfg.scheduler.name, lr=cfg.optimizer.lr,
+        num_warmup_steps=cfg.scheduler.num_warmup_steps,
+        num_training_steps=int(cfg.scheduler.num_training_steps))
+    tx = make_optimizer(
+        cfg.optimizer.name, lr=cfg.optimizer.lr,
+        weight_decay=cfg.optimizer.weight_decay,
+        betas=tuple(cfg.optimizer.kwargs.get("betas", (0.95, 0.999))),
+        clip_grad_norm=cfg.optimizer.clip_grad_norm, schedule=schedule,
+        gradient_accumulation_steps=cfg.optimizer
+        .gradient_accumulation_steps,
+        freeze_mask=pc2_freeze_mask(params, cfg.run.freeze_feature_model))
+    state = create_train_state(params, tx, use_ema=cfg.ema.use_ema,
+                               ema_decay=cfg.ema.decay,
+                               ema_update_every=cfg.ema.update_every)
+    if cfg.checkpoint.resume and cfg.checkpoint.resume_training:
+        state = restore_checkpoint(
+            cfg.checkpoint.resume, state,
+            restore_optimizer=cfg.checkpoint.resume_training_optimizer,
+            restore_step=cfg.checkpoint.resume_training_state)
+
+    mesh = get_mesh() if jax.device_count() > 1 else None
+    ckpt_dir = f"{cfg.run.save_dir}/{cfg.run.name}"
+    logger = MetricLogger(jsonl_path=f"{ckpt_dir}/train_log.jsonl")
+    import os
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    state = train_loop(
+        state, pc2.loss, tx, loader_train.infinite(),
+        max_steps=cfg.run.max_steps, key=jax.random.PRNGKey(cfg.run.seed),
+        mesh=mesh, checkpoint_dir=ckpt_dir,
+        checkpoint_freq=cfg.run.checkpoint_freq,
+        print_freq=cfg.run.print_step_freq,
+        log_step_freq=cfg.run.log_step_freq, logger=logger,
+        lr_schedule=schedule)
+    save_checkpoint(ckpt_dir, state, config=to_dict(cfg))
+    print(f"Training done at step {int(state.step)}; checkpoints in "
+          f"{ckpt_dir}")
+
+
+def sample(cfg: ProjectConfig) -> None:
+    pc2, params = build_pc2(cfg, cfg.checkpoint.resume)
+    _, loader_val, _ = get_dataset(cfg)
+    pred_dir, gt_dir = sample_output_dirs(cfg, "sample")
+
+    @jax.jit
+    def run(params, batch, key):
+        return pc2.sample(params, batch, key,
+                          num_points=cfg.dataset.max_points,
+                          scheduler=cfg.run.diffusion_scheduler,
+                          num_inference_steps=cfg.run.num_inference_steps)
+
+    key = jax.random.PRNGKey(cfg.run.manual_seed or cfg.run.seed)
+    for bi, batch in enumerate(loader_val):
+        if (cfg.run.num_sample_batches is not None
+                and bi >= cfg.run.num_sample_batches):
+            break
+        key, sub = jax.random.split(key)
+        model_batch = {k: batch[k] for k in ("points", "image", "camera")}
+        pred = run(params, model_batch, sub)
+        save_batch_outputs(pred_dir, gt_dir, batch, pred)
+        print(f"sampled batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")
+    print(f"Samples in {pred_dir}; ground truth in {gt_dir}")
+
+
+def vis(cfg: ProjectConfig) -> None:
+    """Save a handful of predictions as .ply plus matplotlib scatter PNGs
+    (replaces the reference's pytorch3d/W&B renders, `main.py:306-451`)."""
+    cfg.run.num_sample_batches = 1
+    sample(cfg)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import glob
+    import os
+    from bdm_tpu.utils import read_ply
+    pred_dir, _ = sample_output_dirs(cfg, "sample")
+    for path in sorted(glob.glob(os.path.join(pred_dir, "*.ply")))[:4]:
+        pts = read_ply(path)
+        fig = plt.figure(figsize=(4, 4))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 2], pts[:, 1], s=0.5)
+        ax.set_axis_off()
+        fig.savefig(path.replace(".ply", ".png"), dpi=120)
+        plt.close(fig)
+    print(f"Visualizations next to the .ply files in {pred_dir}")
+
+
+def main(argv=None) -> None:
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    set_seed(cfg.run.seed)
+    if cfg.run.job == "train":
+        train(cfg)
+    elif cfg.run.job == "sample":
+        sample(cfg)
+    elif cfg.run.job == "vis":
+        vis(cfg)
+    else:
+        raise ValueError(f"Invalid job: {cfg.run.job}")
+
+
+if __name__ == "__main__":
+    main()
