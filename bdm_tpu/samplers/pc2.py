@@ -86,19 +86,26 @@ class PC2Model:
         self.out_channels = (3 if cfg.predict_shape else 0) + (
             cfg.color_channels if cfg.predict_color else 0)
 
-        if cfg.point_cloud_model != "pvcnn":
-            raise NotImplementedError(cfg.point_cloud_model)
+        # backbone mux (`point_cloud_model.py:14-59`): pvcnn / simple /
+        # pvcnnplusplus
         backbone_kwargs = {}
         if sa_blocks is not None:
             backbone_kwargs["sa_blocks"] = sa_blocks
         if fp_blocks is not None:
             backbone_kwargs["fp_blocks"] = fp_blocks
-        self.backbone = PVCNN2(
-            out_channels=self.out_channels,
-            embed_dim=cfg.point_cloud_model_embed_dim,
-            extra_feature_channels=in_channels - 3,
-            **backbone_kwargs,
-        )
+        common = dict(out_channels=self.out_channels,
+                      embed_dim=cfg.point_cloud_model_embed_dim,
+                      extra_feature_channels=in_channels - 3)
+        if cfg.point_cloud_model == "pvcnn":
+            self.backbone = PVCNN2(**common, **backbone_kwargs)
+        elif cfg.point_cloud_model == "simple":
+            from bdm_tpu.models.simple import SimplePointModel
+            self.backbone = SimplePointModel(**common)
+        elif cfg.point_cloud_model == "pvcnnplusplus":
+            from bdm_tpu.models.simple import PVCNN2PlusPlus
+            self.backbone = PVCNN2PlusPlus(**common)
+        else:
+            raise NotImplementedError(cfg.point_cloud_model)
         self.schedulers = {
             name: make_scheduler(name, cfg.beta_start, cfg.beta_end,
                                  cfg.beta_schedule)
