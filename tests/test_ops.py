@@ -217,3 +217,14 @@ def test_ops_are_jittable(rng):
     feats = jnp.asarray(rng.standard_normal((1, 64, 4)).astype(np.float32))
     out = jax.jit(_pipeline)(coords, feats)
     assert out.shape == (1, 64, 4)
+
+
+def test_pallas_fps_matches_reference(rng):
+    """The Pallas FPS kernel (interpret mode on CPU) must agree with the
+    pure-JAX/NumPy reference implementation."""
+    from bdm_tpu.ops.pallas import furthest_point_sample_pallas
+    coords = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    got = np.asarray(furthest_point_sample_pallas(
+        jnp.asarray(coords), 32, True))
+    want = np_fps(coords, 32)
+    np.testing.assert_array_equal(got, want)
