@@ -89,7 +89,7 @@ def sample(cfg: ProjectConfig) -> None:
     _, loader_val, _ = get_dataset(cfg)
     pred_dir, gt_dir = sample_output_dirs(cfg, "sample")
 
-    @jax.jit
+    # no outer jit: the reverse loop is already one jitted scan internally
     def run(params, batch, key):
         return pc2.sample(params, batch, key,
                           num_points=cfg.dataset.max_points,

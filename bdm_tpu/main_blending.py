@@ -35,7 +35,8 @@ def sample_bdm_blending(cfg: ProjectConfig) -> None:
     milestones = resolve_milestones(cfg)
     pred_dir, gt_dir = sample_output_dirs(cfg, "sample_bdm_blending")
 
-    @jax.jit
+    # no outer jit: each milestone window is one jitted scan, cached by
+    # window length (see samplers.pc2._jitted_window_scan)
     def run(pc2_params, pvd_params, batch, key):
         return bdm_blending(
             pc2, pc2_params, pvd, pvd_params, batch, key,

@@ -98,7 +98,7 @@ def sample_bdm_merging(cfg: ProjectConfig) -> None:
     milestones = resolve_milestones(cfg)
     pred_dir, gt_dir = sample_output_dirs(cfg, "sample_bdm_merging")
 
-    @jax.jit
+    # no outer jit: milestone windows are jitted scans cached by length
     def run(merge_params, pc2_params, pvd_params, batch, key):
         return bdm_merging(
             merge, merge_params, pc2, pc2_params, pvd, pvd_params, batch,

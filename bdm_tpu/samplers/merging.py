@@ -10,6 +10,7 @@ merged x_{t-roll} (`nstep_fuse`, `model.py:510-570`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -112,14 +113,27 @@ class BDMMergingModel:
             cond_map = self.pc2.conditioning_map(
                 params, batch["image"], batch.get("mask"),
                 batch.get("distance_transform"))
-        b = recon.shape[0]
-        x_in = self.pc2.x_t_input(recon, batch["camera"], cond_map)
-        t = jnp.full((b,), timestep, dtype=jnp.int32)
-        eps = self.fusion.apply(params["fusion_model"], x_in, prior, t,
-                                "fusion_nstep", deterministic=True)
-        if scheduler == "ddim":
-            return sched.step(eps, timestep, recon, key=key)
-        return sched.step(eps, timestep, recon, key)
+        t = jnp.asarray(timestep, dtype=jnp.int32)
+        return _jitted_nstep_fuse(self, scheduler, sched.step_ratio, params,
+                                  prior, recon, batch["camera"], cond_map,
+                                  t, key)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _jitted_nstep_fuse(merge: BDMMergingModel, scheduler_name: str,
+                       step_ratio: int, params, prior, recon, camera,
+                       cond_map, t, key):
+    """One compiled fusion step; `t` is traced so every milestone reuses the
+    same executable."""
+    sched = merge.schedulers[scheduler_name]
+    b = recon.shape[0]
+    x_in = merge.pc2.x_t_input(recon, camera, cond_map)
+    tb = jnp.full((b,), t, dtype=jnp.int32)
+    eps = merge.fusion.apply(params["fusion_model"], x_in, prior, tb,
+                             "fusion_nstep", deterministic=True)
+    if scheduler_name == "ddim":
+        return sched.step(eps, t, recon, key=key)
+    return sched.step(eps, t, recon, key)
 
 
 def bdm_merging(merge_model: BDMMergingModel, merge_params,

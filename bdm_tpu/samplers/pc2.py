@@ -14,6 +14,7 @@ point-dependent surface projection runs inside the scan.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -188,26 +189,21 @@ class PC2Model:
 
     # -------------------------------------------------------------- sampling
     def _window_scan(self, params, x_t, camera, cond_map, timesteps,
-                     scheduler, key, eta: float = 0.0) -> jnp.ndarray:
-        """Scan the reverse process over a static list of timesteps."""
+                     scheduler, key, eta: float = 0.0,
+                     scheduler_name: str = "ddpm") -> jnp.ndarray:
+        """Scan the reverse process over a window of timesteps.
+
+        The timestep array is a TRACED input of one jitted scan, so every
+        window of the same length reuses one executable — the BDM milestone
+        schedules have only ~3 distinct window lengths, vs ~14 windows.
+        """
         if len(timesteps) == 0:
             return x_t
-        b = x_t.shape[0]
         ts = jnp.asarray(timesteps, dtype=jnp.int32)
         keys = jax.random.split(key, len(timesteps))
-
-        def body(x, inp):
-            t_scalar, k = inp
-            t = jnp.full((b,), t_scalar, dtype=jnp.int32)
-            eps = self.denoise(params, x, t, camera, cond_map)
-            if scheduler is self.schedulers["ddim"]:
-                x = scheduler.step(eps, t_scalar, x, key=k, eta=eta)
-            else:
-                x = scheduler.step(eps, t_scalar, x, k)
-            return x, None
-
-        out, _ = jax.lax.scan(body, x_t, (ts, keys))
-        return out
+        return _jitted_window_scan(self, scheduler_name, float(eta),
+                                   scheduler.step_ratio, params, x_t, camera,
+                                   cond_map, ts, keys)
 
     def sample(self, params, batch: Dict[str, Any], key: jax.Array,
                num_points: int, scheduler: str = "ddpm",
@@ -224,7 +220,8 @@ class PC2Model:
             params, batch["image"], batch.get("mask"),
             batch.get("distance_transform"))
         out = self._window_scan(params, x_t, batch["camera"], cond_map,
-                                list(timesteps), sched, k_loop, eta)
+                                list(timesteps), sched, k_loop, eta,
+                                scheduler_name=scheduler)
         return out / self.cfg.scale_factor
 
     def interaction_sample(self, params, x_t: jnp.ndarray,
@@ -246,4 +243,29 @@ class PC2Model:
                 params, batch["image"], batch.get("mask"),
                 batch.get("distance_transform"))
         return self._window_scan(params, x_t, batch["camera"], cond_map,
-                                 window, sched, key, eta)
+                                 window, sched, key, eta,
+                                 scheduler_name=scheduler)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _jitted_window_scan(pc2: PC2Model, scheduler_name: str, eta: float,
+                        step_ratio: int, params, x_t, camera, cond_map,
+                        ts, keys) -> jnp.ndarray:
+    """One compiled reverse-window scan, cached per (model, scheduler,
+    window length). `step_ratio` is part of the static key because the
+    scheduler's stride is read at trace time."""
+    sched = pc2.schedulers[scheduler_name]
+    b = x_t.shape[0]
+
+    def body(x, inp):
+        t_scalar, k = inp
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        eps = pc2.denoise(params, x, t, camera, cond_map)
+        if scheduler_name == "ddim":
+            x = sched.step(eps, t_scalar, x, key=k, eta=eta)
+        else:
+            x = sched.step(eps, t_scalar, x, k)
+        return x, None
+
+    out, _ = jax.lax.scan(body, x_t, (ts, keys))
+    return out

@@ -14,6 +14,7 @@ around every call (`main_blending.py:176-183`); bdm_tpu is channel-last
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -69,10 +70,18 @@ class PVDModel:
                         clip_denoised: bool = False) -> jnp.ndarray:
         """Partial-window sampling (`generate_pvd_xyz`,
         `pvd/__init__.py:450-473`): reverse-diffuse x from t=start_time-1
-        down to t=final_time. x: (B, N, 3)."""
-        return self.diffusion.p_sample_window(
-            self.denoise_fn(params), x, start_time, final_time, key,
-            clip_denoised=clip_denoised)
+        down to t=final_time. x: (B, N, 3).
+
+        The timestep array is a traced input of one jitted scan, so all
+        windows of equal length share one executable."""
+        start_time, final_time = int(start_time), int(final_time)
+        steps = start_time - final_time
+        if steps <= 0:
+            return x
+        ts = jnp.arange(start_time - 1, final_time - 1, -1, dtype=jnp.int32)
+        keys = jax.random.split(key, steps)
+        return _jitted_pvd_window(self, bool(clip_denoised), params, x, ts,
+                                  keys)
 
     def sample(self, params, shape, key: jax.Array) -> jnp.ndarray:
         """Unconditional generation from pure noise."""
@@ -80,3 +89,20 @@ class PVDModel:
         x = jax.random.normal(k0, shape, jnp.float32)
         return self.generate_window(params, x,
                                     self.diffusion.num_timesteps, 0, k1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_pvd_window(pvd: "PVDModel", clip_denoised: bool, params, x, ts,
+                       keys) -> jnp.ndarray:
+    b = x.shape[0]
+    denoise = pvd.denoise_fn(params)
+
+    def body(carry, inp):
+        t_scalar, k = inp
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        out = pvd.diffusion.p_sample(denoise, carry, t, k,
+                                     clip_denoised=clip_denoised)
+        return out, None
+
+    out, _ = jax.lax.scan(body, x, (ts, keys))
+    return out

@@ -64,22 +64,25 @@ def main():
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(args.batch, args.points, pc2.cfg.image_size, rng)
 
-    def run(params_pc2, params_pvd, batch, k):
-        return bdm_blending(pc2, params_pc2, pvd, params_pvd, batch, k,
+    # NOTE: deliberately NOT one outer jit. The milestone loop is a static
+    # Python loop over lax.scan segments; eager execution reuses the same
+    # compiled scan for every segment of equal length (the schedule has only
+    # 3 distinct window lengths), whereas one mega-jit compiles all ~14
+    # segments as separate subgraphs of one giant program.
+    def run(k):
+        return bdm_blending(pc2, pc2_params, pvd, pvd_params, batch, k,
                             num_points=args.points, milestones=milestones,
                             roll_step=roll, scheduler="ddpm",
                             num_inference_steps=steps)
 
-    run_jit = jax.jit(run)
-
     # warmup / compile
-    out = run_jit(pc2_params, pvd_params, batch, jax.random.PRNGKey(1))
+    out = run(jax.random.PRNGKey(1))
     out.block_until_ready()
 
     times = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        out = run_jit(pc2_params, pvd_params, batch, jax.random.PRNGKey(2 + i))
+        out = run(jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
 
