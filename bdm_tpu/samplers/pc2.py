@@ -132,7 +132,13 @@ class PC2Model:
                          distance_transform: Optional[jnp.ndarray] = None
                          ) -> jnp.ndarray:
         """The per-pixel conditioning map, computed once per image
-        (`projection_model.py:110-125`). image: (B, H, W, 3) in [0, 1]."""
+        (`projection_model.py:110-125`). image: (B, H, W, 3) in [0, 1].
+        Jitted (nested jit is inlined when called from a jitted caller)."""
+        return _jitted_conditioning_map(self, params, image, mask,
+                                        distance_transform)
+
+    def _conditioning_map_impl(self, params, image, mask,
+                               distance_transform) -> jnp.ndarray:
         cfg = self.cfg
         parts = []
         if cfg.use_local_colors:
@@ -245,6 +251,13 @@ class PC2Model:
         return self._window_scan(params, x_t, batch["camera"], cond_map,
                                  window, sched, key, eta,
                                  scheduler_name=scheduler)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_conditioning_map(pc2: "PC2Model", params, image, mask,
+                             distance_transform):
+    return pc2._conditioning_map_impl(params, image, mask,
+                                      distance_transform)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
