@@ -42,6 +42,16 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+MODEL_BATCH_KEYS = ("points", "colors", "image", "mask",
+                    "distance_transform", "camera")
+
+
+def model_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip metadata (paths, names) so only array leaves reach jit/shard."""
+    return {k: batch[k] for k in MODEL_BATCH_KEYS
+            if k in batch and batch[k] is not None}
+
+
 class DataLoader:
     """Minimal epoch-based loader with optional background prefetching."""
 

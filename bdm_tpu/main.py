@@ -27,7 +27,7 @@ from bdm_tpu.cli import (
 from bdm_tpu.config import ProjectConfig, parse_cli
 from bdm_tpu.config.structured import to_dict
 from bdm_tpu.data import get_dataset
-from bdm_tpu.parallel import get_mesh
+from bdm_tpu.parallel import get_mesh_for_batch
 from bdm_tpu.train import (
     MetricLogger,
     create_train_state,
@@ -65,7 +65,7 @@ def train(cfg: ProjectConfig) -> None:
             restore_optimizer=cfg.checkpoint.resume_training_optimizer,
             restore_step=cfg.checkpoint.resume_training_state)
 
-    mesh = get_mesh() if jax.device_count() > 1 else None
+    mesh = get_mesh_for_batch(cfg.dataloader.batch_size)
     ckpt_dir = f"{cfg.run.save_dir}/{cfg.run.name}"
     logger = MetricLogger(jsonl_path=f"{ckpt_dir}/train_log.jsonl")
     import os
@@ -102,7 +102,8 @@ def sample(cfg: ProjectConfig) -> None:
                 and bi >= cfg.run.num_sample_batches):
             break
         key, sub = jax.random.split(key)
-        model_batch = {k: batch[k] for k in ("points", "image", "camera")}
+        from bdm_tpu.data.loader import model_batch as _mb
+        model_batch = _mb(batch)
         pred = run(params, model_batch, sub)
         save_batch_outputs(pred_dir, gt_dir, batch, pred)
         print(f"sampled batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")

@@ -51,7 +51,8 @@ def sample_bdm_blending(cfg: ProjectConfig) -> None:
                 and bi >= cfg.run.num_sample_batches):
             break
         key, sub = jax.random.split(key)
-        model_batch = {k: batch[k] for k in ("points", "image", "camera")}
+        from bdm_tpu.data.loader import model_batch as _mb
+        model_batch = _mb(batch)
         pred = run(pc2_params, pvd_params, model_batch, sub)
         save_batch_outputs(pred_dir, gt_dir, batch, pred)
         print(f"blended batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")

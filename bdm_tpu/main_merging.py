@@ -30,7 +30,7 @@ from bdm_tpu.cli import (
 from bdm_tpu.config import ProjectConfig, parse_cli
 from bdm_tpu.config.structured import to_dict
 from bdm_tpu.data import get_dataset
-from bdm_tpu.parallel import get_mesh
+from bdm_tpu.parallel import get_mesh_for_batch
 from bdm_tpu.samplers import bdm_merging
 from bdm_tpu.train import (
     MetricLogger,
@@ -75,7 +75,7 @@ def training_bdm_merging(cfg: ProjectConfig) -> None:
                                ema_decay=cfg.ema.decay,
                                ema_update_every=cfg.ema.update_every)
 
-    mesh = get_mesh() if jax.device_count() > 1 else None
+    mesh = get_mesh_for_batch(cfg.dataloader.batch_size)
     ckpt_dir = f"{cfg.run.save_dir}/{cfg.run.name}"
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = MetricLogger(jsonl_path=f"{ckpt_dir}/train_log.jsonl")
@@ -113,7 +113,8 @@ def sample_bdm_merging(cfg: ProjectConfig) -> None:
                 and bi >= cfg.run.num_sample_batches):
             break
         key, sub = jax.random.split(key)
-        model_batch = {k: batch[k] for k in ("points", "image", "camera")}
+        from bdm_tpu.data.loader import model_batch as _mb
+        model_batch = _mb(batch)
         pred = run(merge_params, pc2_params, pvd_params, model_batch, sub)
         save_batch_outputs(pred_dir, gt_dir, batch, pred)
         print(f"merged batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")

@@ -9,9 +9,11 @@ No user-level transport code exists or is needed.
 
 from bdm_tpu.parallel.mesh import (
     get_mesh,
+    get_mesh_for_batch,
     shard_batch,
     replicate,
     batch_sharding,
 )
 
-__all__ = ["get_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["get_mesh", "get_mesh_for_batch", "shard_batch", "replicate",
+           "batch_sharding"]

@@ -20,6 +20,19 @@ def get_mesh(n_devices: Optional[int] = None, axis_name: str = DP_AXIS
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_for_batch(batch_size: int, axis_name: str = DP_AXIS
+                       ) -> Optional[Mesh]:
+    """Mesh over the largest divisor of batch_size that fits the device
+    count; None when a single device (or batch 1) makes DP pointless."""
+    n_dev = len(jax.devices())
+    n = min(n_dev, batch_size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return get_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DP_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -44,9 +44,11 @@ def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
 
     t_start = time.time()
     start_step = int(state.step)
+    from bdm_tpu.data.loader import model_batch
     for batch in data_iter:
         if int(state.step) >= max_steps:
             break
+        batch = model_batch(batch)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
