@@ -1,6 +1,6 @@
 """Benchmark: BDM-Blending sampling throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "...", "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
 
 Measures the full coupled sampler (PC2 + PVD, DDPM 1000 steps, milestones
@@ -9,6 +9,9 @@ Measures the full coupled sampler (PC2 + PVD, DDPM 1000 steps, milestones
 is weight-independent). Baseline: the driver target of one 4096-pt cloud in
 <2 s/chip, i.e. 0.5 clouds/sec (BASELINE.md; the reference publishes no
 wall-clock numbers).
+
+Robustness: progress goes to stderr; on a failure the bench retries at a
+smaller batch, and it always emits a JSON line (value 0.0 on total failure).
 """
 
 import argparse
@@ -23,22 +26,17 @@ ROLL_STEP = 16
 BASELINE_CLOUDS_PER_SEC = 0.5
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=4)
-    parser.add_argument("--points", type=int, default=4096)
-    parser.add_argument("--repeats", type=int, default=2)
-    parser.add_argument("--quick", action="store_true",
-                        help="tiny shapes for smoke-testing the bench")
-    args = parser.parse_args()
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
+
+def run_once(batch_size, points, repeats, quick):
     import jax
-    import jax.numpy as jnp
     from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel, \
         bdm_blending
     from __graft_entry__ import _synthetic_batch
 
-    if args.quick:
+    if quick:
         from tests.test_models import TINY_FP, TINY_SA
         cfg = ProjectionConfig(image_size=16,
                                image_feature_model="identity",
@@ -46,52 +44,69 @@ def main():
                                point_cloud_model_embed_dim=8)
         pc2 = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
         pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
-        args.points = 64
-        milestones = [8, 6, 2, 0]
-        roll = 2
-        steps = 8
+        points, milestones, roll, steps = 64, [8, 6, 2, 0], 2, 8
     else:
         pc2 = PC2Model()
         pvd = PVDModel()
-        milestones = MILESTONES
-        roll = ROLL_STEP
-        steps = 1000
+        milestones, roll, steps = MILESTONES, ROLL_STEP, 1000
 
     key = jax.random.PRNGKey(0)
+    log(f"init params (batch={batch_size}, points={points})...")
     pc2_params = pc2.init_params(key, num_points=1024)
     pvd_params = pvd.init_params(key, num_points=1024)
 
     rng = np.random.default_rng(0)
-    batch = _synthetic_batch(args.batch, args.points, pc2.cfg.image_size, rng)
+    batch = _synthetic_batch(batch_size, points, pc2.cfg.image_size, rng)
 
-    # NOTE: deliberately NOT one outer jit. The milestone loop is a static
-    # Python loop over lax.scan segments; eager execution reuses the same
-    # compiled scan for every segment of equal length (the schedule has only
-    # 3 distinct window lengths), whereas one mega-jit compiles all ~14
-    # segments as separate subgraphs of one giant program.
+    # NOTE: deliberately NOT one outer jit: the milestone loop is a static
+    # Python loop over jitted scans cached by window LENGTH (3 distinct
+    # lengths in the canonical schedule), so warmup compiles ~5 programs
+    # instead of one giant 14-segment graph.
     def run(k):
         return bdm_blending(pc2, pc2_params, pvd, pvd_params, batch, k,
-                            num_points=args.points, milestones=milestones,
+                            num_points=points, milestones=milestones,
                             roll_step=roll, scheduler="ddpm",
                             num_inference_steps=steps)
 
-    # warmup / compile
+    log("warmup (compiles the window scans)...")
+    t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(1))
     out.block_until_ready()
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     times = []
-    for i in range(args.repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
         out = run(jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
+    return batch_size / min(times), points, steps
 
-    best = min(times)
-    clouds_per_sec = args.batch / best
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--points", type=int, default=4096)
+    parser.add_argument("--repeats", type=int, default=2)
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    clouds_per_sec, points, steps = 0.0, args.points, 1000
+    batch = args.batch
+    while batch >= 1:
+        try:
+            clouds_per_sec, points, steps = run_once(
+                batch, args.points, args.repeats, args.quick)
+            break
+        except Exception as e:
+            log(f"bench failed at batch={batch}: {type(e).__name__}: {e}")
+            batch //= 2
+
     result = {
         "metric": "BDM-Blending sampling throughput "
-                  f"({args.points} pts, DDPM {steps} steps, "
-                  f"batch {args.batch}, 1 chip)",
+                  f"({points} pts, DDPM {steps} steps, batch {batch}, "
+                  "1 chip)",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 4),
