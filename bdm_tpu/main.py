@@ -71,6 +71,15 @@ def train(cfg: ProjectConfig) -> None:
     import os
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    from bdm_tpu.utils.vis import WandbLogger
+    wandb_logger = WandbLogger(cfg.logging.wandb, cfg.logging.wandb_project,
+                               cfg.run.name, config=to_dict(cfg))
+
+    def wandb_cb(step, state, metrics):
+        if step % cfg.run.log_step_freq == 0:
+            wandb_logger.log({k: float(v) for k, v in metrics.items()},
+                             step=step)
+
     state = train_loop(
         state, pc2.loss, tx, loader_train.infinite(),
         max_steps=cfg.run.max_steps, key=jax.random.PRNGKey(cfg.run.seed),
@@ -78,7 +87,8 @@ def train(cfg: ProjectConfig) -> None:
         checkpoint_freq=cfg.run.checkpoint_freq,
         print_freq=cfg.run.print_step_freq,
         log_step_freq=cfg.run.log_step_freq, logger=logger,
-        lr_schedule=schedule)
+        lr_schedule=schedule, callbacks=[wandb_cb])
+    wandb_logger.finish()
     save_checkpoint(ckpt_dir, state, config=to_dict(cfg))
     print(f"Training done at step {int(state.step)}; checkpoints in "
           f"{ckpt_dir}")
@@ -89,12 +99,15 @@ def sample(cfg: ProjectConfig) -> None:
     _, loader_val, _ = get_dataset(cfg)
     pred_dir, gt_dir = sample_output_dirs(cfg, "sample")
 
+    evo_every = 100 if cfg.run.sample_save_evolutions else -1
+
     # no outer jit: the reverse loop is already one jitted scan internally
     def run(params, batch, key):
         return pc2.sample(params, batch, key,
                           num_points=cfg.dataset.max_points,
                           scheduler=cfg.run.diffusion_scheduler,
-                          num_inference_steps=cfg.run.num_inference_steps)
+                          num_inference_steps=cfg.run.num_inference_steps,
+                          return_sample_every_n_steps=evo_every)
 
     key = jax.random.PRNGKey(cfg.run.manual_seed or cfg.run.seed)
     for bi, batch in enumerate(loader_val):
@@ -104,7 +117,19 @@ def sample(cfg: ProjectConfig) -> None:
         key, sub = jax.random.split(key)
         from bdm_tpu.data.loader import model_batch as _mb
         model_batch = _mb(batch)
-        pred = run(params, model_batch, sub)
+        out = run(params, model_batch, sub)
+        if evo_every > 0:
+            pred, evolutions = out
+            from bdm_tpu.utils.vis import render_evolution
+            import os
+            names = batch.get("sequence_name")
+            for i in range(min(2, pred.shape[0])):  # a couple per batch
+                name = names[i] if names else f"sample_{bi}_{i}"
+                render_evolution(
+                    np.asarray(evolutions[i]),
+                    os.path.join(pred_dir, f"{name}_evolution.png"))
+        else:
+            pred = out
         save_batch_outputs(pred_dir, gt_dir, batch, pred)
         print(f"sampled batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")
     print(f"Samples in {pred_dir}; ground truth in {gt_dir}")

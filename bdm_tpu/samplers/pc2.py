@@ -213,10 +213,13 @@ class PC2Model:
 
     def sample(self, params, batch: Dict[str, Any], key: jax.Array,
                num_points: int, scheduler: str = "ddpm",
-               num_inference_steps: int = 1000, eta: float = 0.0
-               ) -> jnp.ndarray:
+               num_inference_steps: int = 1000, eta: float = 0.0,
+               return_sample_every_n_steps: int = -1):
         """Full reverse loop from N(0, I) (`model.py:123-214`).
-        Returns (B, N, 3) points (unscaled)."""
+        Returns (B, N, 3) points (unscaled); with
+        `return_sample_every_n_steps > 0` also returns the stacked
+        intermediate clouds (B, S, N, 3) like the reference's evolutions.
+        """
         sched = self.schedulers[scheduler]
         timesteps = sched.set_timesteps(num_inference_steps)
         b = batch["image"].shape[0]
@@ -225,10 +228,25 @@ class PC2Model:
         cond_map = self.conditioning_map(
             params, batch["image"], batch.get("mask"),
             batch.get("distance_transform"))
-        out = self._window_scan(params, x_t, batch["camera"], cond_map,
-                                list(timesteps), sched, k_loop, eta,
-                                scheduler_name=scheduler)
-        return out / self.cfg.scale_factor
+        if return_sample_every_n_steps <= 0:
+            out = self._window_scan(params, x_t, batch["camera"], cond_map,
+                                    list(timesteps), sched, k_loop, eta,
+                                    scheduler_name=scheduler)
+            return out / self.cfg.scale_factor
+        # evolutions: run per-segment and stash snapshots (host-side stack)
+        snaps = []
+        ts = list(timesteps)
+        n_steps = len(ts)
+        for i in range(0, n_steps, return_sample_every_n_steps):
+            seg = ts[i:i + return_sample_every_n_steps]
+            k_loop, sub = jax.random.split(k_loop)
+            x_t = self._window_scan(params, x_t, batch["camera"], cond_map,
+                                    seg, sched, sub, eta,
+                                    scheduler_name=scheduler)
+            snaps.append(x_t)
+        out = x_t / self.cfg.scale_factor
+        evo = jnp.stack(snaps, axis=1) / self.cfg.scale_factor
+        return out, evo
 
     def interaction_sample(self, params, x_t: jnp.ndarray,
                            batch: Dict[str, Any], key: jax.Array,

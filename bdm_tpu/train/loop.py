@@ -31,16 +31,21 @@ def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
                log_step_freq: int = 20,
                logger: Optional[MetricLogger] = None,
                lr_schedule: Optional[Callable] = None,
-               callbacks: Optional[list] = None) -> TrainState:
+               callbacks: Optional[list] = None,
+               profile_dir: Optional[str] = None,
+               profile_steps: tuple = (10, 20)) -> TrainState:
     """Run up to `max_steps` optimizer steps over an infinite batch iterator.
 
     `data_iter` yields host batches; they are sharded onto the mesh here
     (per-host loading + device sharding replaces DDP's per-process
-    DataLoader sharding).
+    DataLoader sharding). With `profile_dir` set, a jax.profiler trace of
+    steps [profile_steps) is written there (the reference only has
+    wall-clock meters — `training_utils.py:210-254`).
     """
     step_fn = make_train_step(loss_fn, tx, mesh=mesh)
     logger = logger or MetricLogger()
     callbacks = callbacks or []
+    profiling = False
 
     t_start = time.time()
     start_step = int(state.step)
@@ -54,6 +59,14 @@ def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub)
         step = int(state.step)
+
+        if profile_dir is not None:
+            if step == profile_steps[0] and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif step >= profile_steps[1] and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
 
         if step % log_step_freq == 0 or step == max_steps:
             loss = float(metrics["loss"])
@@ -75,6 +88,8 @@ def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
         for cb in callbacks:
             cb(step, state, metrics)
 
+    if profiling:
+        jax.profiler.stop_trace()
     if checkpoint_dir is not None:
         save_checkpoint(checkpoint_dir, state)
     return state
