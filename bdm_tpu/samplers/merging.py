@@ -99,6 +99,26 @@ class BDMMergingModel:
         return jnp.mean((eps_pred - noise) ** 2)
 
     # ------------------------------------------------------------- sampling
+    def sample(self, params, batch: Dict[str, Any], key: jax.Array,
+               num_points: int, scheduler: str = "ddpm",
+               num_inference_steps: int = 1000) -> jnp.ndarray:
+        """Full reverse loop through the fusion net alone in 'fusion_1step'
+        mode (`model.py:421-508`), as one jitted scan."""
+        sched = self.schedulers[scheduler]
+        timesteps = sched.set_timesteps(num_inference_steps)
+        b = batch["image"].shape[0]
+        k_init, k_loop = jax.random.split(key)
+        x = jax.random.normal(k_init, (b, num_points, 3), jnp.float32)
+        cond_map = self.pc2.conditioning_map(
+            params, batch["image"], batch.get("mask"),
+            batch.get("distance_transform"))
+        ts = jnp.asarray(list(timesteps), dtype=jnp.int32)
+        keys = jax.random.split(k_loop, len(timesteps))
+        out = _jitted_fusion_sample_scan(
+            self, scheduler, sched.step_ratio, params, x, batch["camera"],
+            cond_map, ts, keys)
+        return out / self.cfg.scale_factor
+
     def nstep_fuse(self, params, pred_from_prior: jnp.ndarray,
                    pred_from_recon: jnp.ndarray, batch: Dict[str, Any],
                    key: jax.Array, timestep: int, scheduler: str = "ddpm",
@@ -117,6 +137,27 @@ class BDMMergingModel:
         return _jitted_nstep_fuse(self, scheduler, sched.step_ratio, params,
                                   prior, recon, batch["camera"], cond_map,
                                   t, key)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _jitted_fusion_sample_scan(merge: BDMMergingModel, scheduler_name: str,
+                               step_ratio: int, params, x, camera, cond_map,
+                               ts, keys):
+    sched = merge.schedulers[scheduler_name]
+    b = x.shape[0]
+
+    def body(x, inp):
+        t_scalar, k = inp
+        x_in = merge.pc2.x_t_input(x, camera, cond_map)
+        tb = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        eps = merge.fusion.apply(params["fusion_model"], x_in, x, tb,
+                                 "fusion_1step", deterministic=True)
+        if scheduler_name == "ddim":
+            return sched.step(eps, t_scalar, x, key=k), None
+        return sched.step(eps, t_scalar, x, k), None
+
+    out, _ = jax.lax.scan(body, x, (ts, keys))
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))

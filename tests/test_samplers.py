@@ -151,3 +151,24 @@ def test_merging_loss_and_freeze_partition(pc2, pc2_params, pvd, pvd_params):
     want = jax.tree_util.tree_leaves(src)
     assert all(np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(got, want))
+
+
+def test_merging_standalone_sample(pc2, pc2_params, pvd, pvd_params):
+    rng = np.random.default_rng(8)
+    merge = BDMMergingModel(TINY_CFG, pc2=pc2, sa_blocks=TINY_SA,
+                            fp_blocks=TINY_FP)
+    params = merge.init_from_pretrained(
+        jax.random.PRNGKey(13), pc2_params, pvd_params, num_points=N)
+    out = merge.sample(params, tiny_batch(rng), jax.random.PRNGKey(14),
+                       num_points=N, num_inference_steps=4)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pc2_sample_evolutions(pc2, pc2_params):
+    rng = np.random.default_rng(9)
+    out, evo = pc2.sample(pc2_params, tiny_batch(rng), jax.random.PRNGKey(15),
+                          num_points=N, num_inference_steps=4,
+                          return_sample_every_n_steps=2)
+    assert out.shape == (B, N, 3)
+    assert evo.shape == (B, 2, N, 3)
