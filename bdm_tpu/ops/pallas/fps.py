@@ -25,11 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _fps_kernel(cx_ref, cy_ref, cz_ref, out_ref, dist_ref, *, num_samples):
+    # out_ref is (M, B): Mosaic only supports dynamic store indices on the
+    # sublane dimension, so the loop index addresses rows (the caller
+    # transposes back to (B, M)).
     b, n = cx_ref.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, n), dimension=1)
 
     dist_ref[:] = jnp.full((b, n), 1e38, dtype=jnp.float32)
-    out_ref[:, 0] = jnp.zeros((b,), jnp.int32)
+    out_ref[pl.ds(0, 1), :] = jnp.zeros((1, b), jnp.int32)
 
     def body(j, carry):
         last_x, last_y, last_z = carry  # each (B, 1)
@@ -43,7 +46,7 @@ def _fps_kernel(cx_ref, cy_ref, cz_ref, out_ref, dist_ref, *, num_samples):
         row_max = jnp.max(dist, axis=1, keepdims=True)       # (B, 1)
         idx = jnp.min(jnp.where(dist == row_max, col_ids, n),
                       axis=1).astype(jnp.int32)              # (B,)
-        out_ref[:, j] = idx
+        out_ref[pl.ds(j, 1), :] = idx[None, :]
         sel = (col_ids == idx[:, None]).astype(jnp.float32)  # one-hot (B, N)
         nx = jnp.sum(sel * cx_ref[:], axis=1, keepdims=True)
         ny = jnp.sum(sel * cy_ref[:], axis=1, keepdims=True)
@@ -67,11 +70,12 @@ def furthest_point_sample_pallas(coords: jnp.ndarray, num_samples: int,
     cy = coords[..., 1]
     cz = coords[..., 2]
     kernel = functools.partial(_fps_kernel, num_samples=m)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, m), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m, b), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
         interpret=interpret,
     )(cx, cy, cz)
+    return out.T
