@@ -80,11 +80,8 @@ class PVCNNFuse(nn.Module):
             self.sa_blocks, self.fp_blocks, 0, self.use_att,
             self.width_multiplier, self.voxel_resolution_multiplier)
 
-        n = recon_inputs_with_cond.shape[1]
         temb = get_timestep_embedding(self.embed_dim, t)
-        temb = TimestepMLP(self.embed_dim, name="embedf")(temb)
-        temb = jnp.broadcast_to(temb[:, None, :],
-                                (temb.shape[0], n, temb.shape[-1]))
+        temb = TimestepMLP(self.embed_dim, name="embedf")(temb)  # (B, E)
 
         # ---- PC2 tower over the conditioned input
         coords_pc2 = recon_inputs_with_cond[..., :3]

@@ -197,8 +197,12 @@ class PVConv(nn.Module):
 
 class PointNetSAModule(nn.Module):
     """Set abstraction (`modules/pointnet.py:49-93`): FPS centers ->
-    ball-query grouping (relative coords concat) -> SharedMLP -> max-pool;
-    the timestep embedding is grouped and max-pooled alongside."""
+    ball-query grouping (relative coords concat) -> SharedMLP -> max-pool.
+
+    The reference also groups and max-pools the timestep embedding
+    (`pointnet.py:85-90`); since temb is constant across a sample's points,
+    that is exactly the identity, so here temb is carried as (B, E) and
+    never grouped (mathematically identical, saves a (B,M,U,E) gather)."""
 
     num_centers: int
     radius: float
@@ -219,8 +223,6 @@ class PointNetSAModule(nn.Module):
             nbr_feats = jnp.concatenate([nbr_coords, nbr_feats], axis=-1)
         f = SharedMLP(tuple(self.mlp), name="mlp")(nbr_feats)  # (B, M, U, C)
         f = f.max(axis=2)
-        if temb.shape[-1] > 0:
-            temb = ops.grouping(temb, nbr).max(axis=2)
         return f, centers, temb
 
 
@@ -240,15 +242,18 @@ class PointNetAModule(nn.Module):
         f = SharedMLP(tuple(self.mlp), name="mlp")(features)
         f = f.max(axis=1, keepdims=True)                       # (B, 1, C)
         centers = jnp.zeros((coords.shape[0], 1, 3), coords.dtype)
-        if temb.shape[-1] > 0:
-            temb = temb.max(axis=1, keepdims=True)
         return f, centers, temb
 
 
 class PointNetFPModule(nn.Module):
     """Feature propagation (`modules/pointnet.py:96-113`): 3-NN interpolate
-    coarse features (and temb) to the fine points, concat skip features,
-    SharedMLP."""
+    coarse features to the fine points, concat the (per-sample constant)
+    temb and skip features, SharedMLP.
+
+    The reference interpolates temb too; IDW weights sum to 1, so that is
+    the identity on a constant — temb stays (B, E) and is broadcast into
+    the mlp input at the same channel position as the reference's layout
+    [interp(features) | temb | skip]."""
 
     mlp: Sequence[int]
 
@@ -256,19 +261,15 @@ class PointNetFPModule(nn.Module):
     def __call__(self, fine_coords: jnp.ndarray, coarse_coords: jnp.ndarray,
                  coarse_features: jnp.ndarray,
                  skip_features: Optional[jnp.ndarray],
-                 coarse_temb: jnp.ndarray):
-        idx, w = ops.three_nn(fine_coords, coarse_coords)
-
-        def interp(x):
-            b, n, _ = idx.shape
-            g = jnp.take_along_axis(x, idx.reshape(b, n * 3, 1),
-                                    axis=1).reshape(b, n, 3, x.shape[-1])
-            return jnp.sum(g * w[..., None], axis=2)
-
-        f = interp(coarse_features)
-        temb = interp(coarse_temb)
+                 temb: jnp.ndarray):
+        f = ops.three_nn_interpolate(fine_coords, coarse_coords,
+                                     coarse_features)
+        n = fine_coords.shape[1]
+        parts = [f, jnp.broadcast_to(temb[:, None, :],
+                                     (temb.shape[0], n, temb.shape[-1]))]
         if skip_features is not None and skip_features.shape[-1] > 0:
-            f = jnp.concatenate([f, skip_features], axis=-1)
+            parts.append(skip_features)
+        f = jnp.concatenate(parts, axis=-1)
         return SharedMLP(tuple(self.mlp), name="mlp")(f), fine_coords, temb
 
 
@@ -288,12 +289,21 @@ class PVCNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
                  temb: jnp.ndarray, deterministic: bool = True):
+        """temb: (B, E) per-sample embedding (constant over points; see
+        PointNetSAModule docstring), broadcast at each concat site."""
         coords_list, in_features_list = [], []
         for i, stage in enumerate(self.specs.sa_stages):
             in_features_list.append(features)
             coords_list.append(coords)
-            f = features if i == 0 else jnp.concatenate([features, temb],
-                                                        axis=-1)
+            if i == 0:
+                f = features
+            else:
+                n = features.shape[1]
+                f = jnp.concatenate(
+                    [features,
+                     jnp.broadcast_to(temb[:, None, :],
+                                      (temb.shape[0], n, temb.shape[-1]))],
+                    axis=-1)
             for p, cs in enumerate(stage.convs):
                 f = PVConv(cs.out_channels, cs.resolution, cs.attention,
                            dropout=self.dropout, name=f"sa{i}_conv{p}")(
@@ -332,8 +342,7 @@ class PVCNNDecoder(nn.Module):
             skip = skip_list[-1 - fp_idx]
             features, coords, temb = PointNetFPModule(
                 mlp=stage.fp_mlp, name=f"fp{fp_idx}_mlp")(
-                fine_coords, coords,
-                jnp.concatenate([features, temb], axis=-1), skip, temb)
+                fine_coords, coords, features, skip, temb)
             for p, cs in enumerate(stage.convs):
                 features = PVConv(
                     cs.out_channels, cs.resolution, cs.attention,
@@ -385,12 +394,9 @@ class PVCNN2(nn.Module):
     def __call__(self, inputs: jnp.ndarray, t: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         specs = self.specs()
-        n = inputs.shape[1]
 
         temb = get_timestep_embedding(self.embed_dim, t)
-        temb = TimestepMLP(self.embed_dim, name="embedf")(temb)
-        temb = jnp.broadcast_to(temb[:, None, :],
-                                (temb.shape[0], n, temb.shape[-1]))
+        temb = TimestepMLP(self.embed_dim, name="embedf")(temb)  # (B, E)
 
         coords = inputs[..., :3]
         features = inputs
