@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 
 def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
-               num_neighbors: int) -> jnp.ndarray:
+               num_neighbors: int,
+               use_pallas: bool | None = None) -> jnp.ndarray:
     """For each center, indices of the first `num_neighbors` points within
     `radius` (scan order), padded with the first hit.
 
@@ -31,6 +32,8 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
         points: (B, N, 3).
         radius: ball radius (compared on squared distance, strict <).
         num_neighbors: U, max neighbors (static).
+        use_pallas: force the fused Pallas kernel on/off (default: auto —
+            TPU backend and tiling-compatible M).
 
     Returns:
         (B, M, U) int32 indices into N.
@@ -38,6 +41,15 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
     b, m, _ = centers.shape
     n = points.shape[1]
     u = int(num_neighbors)
+
+    from bdm_tpu.ops.sampling import _PALLAS_OVERRIDE
+    if use_pallas is None:
+        use_pallas = _PALLAS_OVERRIDE
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and m % min(m, 128) == 0:
+        from bdm_tpu.ops.pallas.ball_query import ball_query_pallas
+        return ball_query_pallas(centers, points, radius, u)
 
     # Squared distances without materializing (B, M, N, 3).
     d2 = jnp.zeros((b, m, n), dtype=jnp.float32)

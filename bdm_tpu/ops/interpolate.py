@@ -37,9 +37,21 @@ def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
         diff = points[..., ax][:, :, None] - centers[..., ax][:, None, :]
         d2 = d2 + diff * diff
 
+    # three iterative masked argmins (first occurrence wins ties, like the
+    # CUDA scan) — much cheaper than a full top_k sort on TPU
     k = min(3, m)
-    neg_top, idx = jax.lax.top_k(-d2, k)  # top_k is stable: ties -> lowest index
-    best = -neg_top  # (B, N, k), ascending distances
+    cur = d2
+    bests, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)         # (B, N)
+        v = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+        bests.append(v)
+        idxs.append(i)
+        cur = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, cur.shape, 2) == i[..., None],
+            jnp.float32(jnp.inf), cur)
+    best = jnp.stack(bests, axis=-1)
+    idx = jnp.stack(idxs, axis=-1)
     if k < 3:  # degenerate M < 3: repeat the last center like a clamp
         pad = 3 - k
         best = jnp.concatenate([best] + [best[..., -1:]] * pad, axis=-1)

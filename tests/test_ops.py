@@ -228,3 +228,13 @@ def test_pallas_fps_matches_reference(rng):
         jnp.asarray(coords), 32, True))
     want = np_fps(coords, 32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_ball_query_matches_reference(rng):
+    from bdm_tpu.ops.pallas import ball_query_pallas
+    points = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    centers = points[:, ::2]  # 128 centers (one pallas tile)
+    got = np.asarray(ball_query_pallas(jnp.asarray(centers),
+                                       jnp.asarray(points), 0.4, 8, True))
+    want = np_ball_query(centers, points, 0.4, 8)
+    np.testing.assert_array_equal(got, want)
