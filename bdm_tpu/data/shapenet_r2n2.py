@@ -107,10 +107,12 @@ class ShapeNetR2N2Dataset:
             img_path = os.path.join(rendering, which_view + ".png")
             records.append((img_path, pc_path, rs, ts))
 
-        # eager load (the reference holds the whole split in RAM)
+        # eager load (the reference holds the whole split in RAM); point
+        # files go through the native threaded reader when available
+        from bdm_tpu.native import read_points
         clouds, images = [], []
         for img_path, pc_path, _, _ in records:
-            pc = np.load(pc_path)
+            pc = read_points(pc_path)
             assert pc.shape[0] == 15000, pc_path
             clouds.append(transform_v2_to_v1(pc))
             images.append(_load_image(img_path, image_size))

@@ -9,6 +9,11 @@ Selection is iterative min-extraction on the index key (U unrolled steps of
 a masked min-reduction over N): take the smallest in-radius index, mask
 everything up to it, repeat — exactly "first U hits in scan order". Slots
 beyond the hit count repeat the first hit; zero-hit centers yield 0.
+
+Layout: the grid tiles the center dimension only (Mosaic requires the last
+two block dims to divide (8, 128) or equal the array dims, so a (1, tile)
+per-batch block is not allowed); the batch dimension stays resident and is
+a static unrolled loop in the kernel.
 """
 
 from __future__ import annotations
@@ -23,27 +28,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _bq_kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref, out_ref, *,
                radius2: float, num_neighbors: int):
-    m_tile = cx_ref.shape[1]
+    b, m_tile = cx_ref.shape
     n = px_ref.shape[1]
-    cx = cx_ref[0, :][:, None]                      # (TM, 1)
-    cy = cy_ref[0, :][:, None]
-    cz = cz_ref[0, :][:, None]
-    dx = cx - px_ref[0, :][None, :]                 # (TM, N)
-    dy = cy - py_ref[0, :][None, :]
-    dz = cz - pz_ref[0, :][None, :]
-    d2 = dx * dx + dy * dy + dz * dz
     ids = jax.lax.broadcasted_iota(jnp.int32, (m_tile, n), dimension=1)
-    mask = d2 < radius2
-
-    cols = []
-    for _ in range(num_neighbors):
-        cur = jnp.min(jnp.where(mask, ids, n), axis=1)  # (TM,) smallest hit
-        cols.append(cur)
-        mask = mask & (ids > cur[:, None])
-    out = jnp.stack(cols, axis=1)                   # (TM, U)
-    first = out[:, 0:1]
-    base = jnp.where(first < n, first, 0)
-    out_ref[0, :, :] = jnp.where(out < n, out, base).astype(jnp.int32)
+    for bb in range(b):  # static unroll over the resident batch dim
+        dx = cx_ref[bb, :][:, None] - px_ref[bb, :][None, :]  # (TM, N)
+        dy = cy_ref[bb, :][:, None] - py_ref[bb, :][None, :]
+        dz = cz_ref[bb, :][:, None] - pz_ref[bb, :][None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        mask = d2 < radius2
+        cols = []
+        for _ in range(num_neighbors):
+            cur = jnp.min(jnp.where(mask, ids, n), axis=1)  # smallest hit
+            cols.append(cur)
+            mask = mask & (ids > cur[:, None])
+        out = jnp.stack(cols, axis=1)                   # (TM, U)
+        first = out[:, 0:1]
+        base = jnp.where(first < n, first, 0)
+        out_ref[bb, :, :] = jnp.where(out < n, out, base).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -54,7 +56,7 @@ def ball_query_pallas(centers: jnp.ndarray, points: jnp.ndarray,
     b, m, _ = centers.shape
     n = points.shape[1]
     u = int(num_neighbors)
-    tile_m = min(m, 128)
+    tile_m = m if m < 128 else 128
     assert m % tile_m == 0, (m, tile_m)
 
     def split(x):
@@ -63,18 +65,18 @@ def ball_query_pallas(centers: jnp.ndarray, points: jnp.ndarray,
     cx, cy, cz = split(centers)
     px, py, pz = split(points)
 
-    center_spec = pl.BlockSpec((1, tile_m), lambda bi, mi: (bi, mi),
+    center_spec = pl.BlockSpec((b, tile_m), lambda mi: (0, mi),
                                memory_space=pltpu.VMEM)
-    point_spec = pl.BlockSpec((1, n), lambda bi, mi: (bi, 0),
+    point_spec = pl.BlockSpec((b, n), lambda mi: (0, 0),
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(_bq_kernel, radius2=float(radius) ** 2,
                                num_neighbors=u)
     return pl.pallas_call(
         kernel,
-        grid=(b, m // tile_m),
+        grid=(m // tile_m,),
         out_shape=jax.ShapeDtypeStruct((b, m, u), jnp.int32),
         in_specs=[center_spec] * 3 + [point_spec] * 3,
-        out_specs=pl.BlockSpec((1, tile_m, u), lambda bi, mi: (bi, mi, 0),
+        out_specs=pl.BlockSpec((b, tile_m, u), lambda mi: (0, mi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(cx, cy, cz, px, py, pz)
