@@ -41,4 +41,10 @@ def make_scheduler(name: str, beta_start: float, beta_end: float,
         return DDPMScheduler(betas)
     if name == "ddim":
         return DDIMScheduler(betas)
+    if name == "pndm":
+        # The reference registers PNDM in its scheduler map
+        # (`model.py:61`) but no job/example ever selects it; the BDM
+        # samplers use ddpm (headline) and ddim only.
+        raise NotImplementedError(
+            "pndm is registered but unused by BDM; use ddpm or ddim")
     raise ValueError(f"Unknown scheduler: {name}")
