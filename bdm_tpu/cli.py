@@ -9,11 +9,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-from bdm_tpu.config import ProjectConfig
-from bdm_tpu.data import get_dataset
 from bdm_tpu.samplers import BDMMergingModel, PC2Model, ProjectionConfig, \
     PVDModel
-from bdm_tpu.train import make_lr_schedule, make_optimizer
 from bdm_tpu.train.checkpoint import load_params
 from bdm_tpu.utils import write_ply
 

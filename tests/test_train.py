@@ -153,3 +153,23 @@ def test_metric_logger():
     for v in (1.0, 2.0, 3.0):
         ml.update(loss=v)
     assert ml.meters["loss"].global_avg == 2.0
+
+
+def test_train_loop_nan_guard():
+    """A NaN loss must hard-stop the loop (`main.py:231-234` semantics)."""
+    import jax.numpy as jnp
+    from bdm_tpu.train.loop import NaNLossError, train_loop
+
+    pc2, params = _pc2_and_params()
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx)
+
+    def bad_loss(p, batch, key):
+        return pc2.loss(p, batch, key) * jnp.float32(jnp.nan)
+
+    batches = iter([tiny_batch(np.random.default_rng(5))] * 10)
+    import pytest as _pytest
+    with _pytest.raises(NaNLossError):
+        train_loop(state, bad_loss, tx, batches, max_steps=5,
+                   key=jax.random.PRNGKey(0), log_step_freq=1,
+                   print_freq=100)
