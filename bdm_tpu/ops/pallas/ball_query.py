@@ -5,15 +5,18 @@ hits in scan order (reference `ball_query.cu:19-58` semantics), entirely in
 VMEM — the XLA path materializes a (B, M, N) distance tensor in HBM and
 runs a top_k sort over it.
 
-Selection is iterative min-extraction on the index key (U unrolled steps of
-a masked min-reduction over N): take the smallest in-radius index, mask
+Selection is iterative min-extraction on the index key (U steps of a
+masked min-reduction over N): take the smallest in-radius index, mask
 everything up to it, repeat — exactly "first U hits in scan order". Slots
 beyond the hit count repeat the first hit; zero-hit centers yield 0.
 
-Layout: the grid tiles the center dimension only (Mosaic requires the last
-two block dims to divide (8, 128) or equal the array dims, so a (1, tile)
-per-batch block is not allowed); the batch dimension stays resident and is
-a static unrolled loop in the kernel.
+Compile-friendliness: both the batch loop and the U loop are
+`lax.fori_loop`s (a fully unrolled version generated MLIR big enough to
+kill the TPU compile helper); the running mask lives in a VMEM scratch.
+Layout notes: Mosaic requires the last two block dims to divide (8, 128)
+or equal the array dims, and dynamic store indices must land on the
+sublane dim — hence the (B, U, M) output layout (transposed back by the
+wrapper) and the batch dim resident per tile.
 """
 
 from __future__ import annotations
@@ -26,26 +29,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bq_kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref, out_ref, *,
-               radius2: float, num_neighbors: int):
+def _bq_kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref, out_ref,
+               mask_ref, *, radius2: float, num_neighbors: int):
     b, m_tile = cx_ref.shape
     n = px_ref.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (m_tile, n), dimension=1)
-    for bb in range(b):  # static unroll over the resident batch dim
-        dx = cx_ref[bb, :][:, None] - px_ref[bb, :][None, :]  # (TM, N)
-        dy = cy_ref[bb, :][:, None] - py_ref[bb, :][None, :]
-        dz = cz_ref[bb, :][:, None] - pz_ref[bb, :][None, :]
+
+    def batch_body(bb, _):
+        cx = cx_ref[pl.ds(bb, 1), :].reshape(m_tile, 1)
+        cy = cy_ref[pl.ds(bb, 1), :].reshape(m_tile, 1)
+        cz = cz_ref[pl.ds(bb, 1), :].reshape(m_tile, 1)
+        px = px_ref[pl.ds(bb, 1), :].reshape(1, n)
+        py = py_ref[pl.ds(bb, 1), :].reshape(1, n)
+        pz = pz_ref[pl.ds(bb, 1), :].reshape(1, n)
+        dx = cx - px
+        dy = cy - py
+        dz = cz - pz
         d2 = dx * dx + dy * dy + dz * dz
-        mask = d2 < radius2
-        cols = []
-        for _ in range(num_neighbors):
-            cur = jnp.min(jnp.where(mask, ids, n), axis=1)  # smallest hit
-            cols.append(cur)
-            mask = mask & (ids > cur[:, None])
-        out = jnp.stack(cols, axis=1)                   # (TM, U)
-        first = out[:, 0:1]
-        base = jnp.where(first < n, first, 0)
-        out_ref[bb, :, :] = jnp.where(out < n, out, base).astype(jnp.int32)
+        mask_ref[:] = (d2 < radius2).astype(jnp.int32)
+
+        def u_body(u, _):
+            live = mask_ref[:] > 0
+            cur = jnp.min(jnp.where(live, ids, n), axis=1)   # (TM,)
+            out_ref[bb, pl.ds(u, 1), :] = cur[None, :].astype(jnp.int32)
+            mask_ref[:] = jnp.where(ids > cur[:, None], mask_ref[:], 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_neighbors, u_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, b, batch_body, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -71,12 +84,17 @@ def ball_query_pallas(centers: jnp.ndarray, points: jnp.ndarray,
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(_bq_kernel, radius2=float(radius) ** 2,
                                num_neighbors=u)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(m // tile_m,),
-        out_shape=jax.ShapeDtypeStruct((b, m, u), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, u, m), jnp.int32),
         in_specs=[center_spec] * 3 + [point_spec] * 3,
-        out_specs=pl.BlockSpec((b, tile_m, u), lambda mi: (0, mi, 0),
+        out_specs=pl.BlockSpec((b, u, tile_m), lambda mi: (0, 0, mi),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_m, n), jnp.int32)],
         interpret=interpret,
     )(cx, cy, cz, px, py, pz)
+    out = jnp.transpose(out, (0, 2, 1))                       # (B, M, U)
+    first = out[..., 0:1]
+    base = jnp.where(first < n, first, 0)
+    return jnp.where(out < n, out, base)
