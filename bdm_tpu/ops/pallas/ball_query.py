@@ -46,16 +46,19 @@ def _bq_kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref, out_ref,
         dy = cy - py
         dz = cz - pz
         d2 = dx * dx + dy * dy + dz * dz
-        mask_ref[:] = (d2 < radius2).astype(jnp.int32)
+        # keyed mask: a hit keeps its index, a miss becomes n; the u-loop
+        # then just tracks a running lower bound (no mask write-back)
+        mask_ref[:] = jnp.where(d2 < radius2, ids, n)
 
-        def u_body(u, _):
-            live = mask_ref[:] > 0
-            cur = jnp.min(jnp.where(live, ids, n), axis=1)   # (TM,)
+        def u_body(u, prev):
+            keys = mask_ref[:]
+            cur = jnp.min(jnp.where(keys > prev[:, None], keys, n),
+                          axis=1)                            # (TM,)
             out_ref[bb, pl.ds(u, 1), :] = cur[None, :].astype(jnp.int32)
-            mask_ref[:] = jnp.where(ids > cur[:, None], mask_ref[:], 0)
-            return 0
+            return cur
 
-        jax.lax.fori_loop(0, num_neighbors, u_body, 0)
+        jax.lax.fori_loop(0, num_neighbors, u_body,
+                          jnp.full((m_tile,), -1, jnp.int32))
         return 0
 
     jax.lax.fori_loop(0, b, batch_body, 0)
