@@ -6,7 +6,7 @@ copy under `experiments/pvd/modules/`).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -49,12 +49,14 @@ class SharedMLP(nn.Module):
     (`modules/shared_mlp.py:11-38`). Works on any rank: (B, ..., C)."""
 
     out_channels: Sequence[int]
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, oc in enumerate(self.out_channels):
-            x = nn.Dense(oc, name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=8, epsilon=GN_EPS, name=f"norm{i}")(x)
+            x = nn.Dense(oc, dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.GroupNorm(num_groups=8, epsilon=GN_EPS, dtype=self.dtype,
+                             name=f"norm{i}")(x)
             x = swish(x)
         return x
 
@@ -67,22 +69,25 @@ class Attention(nn.Module):
     """
 
     num_groups: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        q = nn.Dense(c, name="q")(x)
-        k = nn.Dense(c, name="k")(x)
-        v = nn.Dense(c, name="v")(x)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(x)
         # note: the reference deliberately omits the 1/sqrt(C) scale
         # (`pvconv.py:51`); replicate for checkpoint parity.
         logits = jnp.einsum("bic,bjc->bij", q, k)
-        w = jax.nn.softmax(logits, axis=-1)
+        # softmax in f32 regardless of compute dtype
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        w = w.astype(v.dtype)
         h = jnp.einsum("bij,bjc->bic", w, v)
-        h = nn.Dense(c, name="out")(h)
+        h = nn.Dense(c, dtype=self.dtype, name="out")(h)
         x = x + h
         x = nn.GroupNorm(num_groups=self.num_groups, epsilon=GN_EPS,
-                         name="norm")(x)
+                         dtype=self.dtype, name="norm")(x)
         return swish(x)
 
 
@@ -92,14 +97,16 @@ class SE(nn.Module):
 
     reduction: int = 8
     use_relu: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         s = x.mean(axis=(1, 2, 3))  # (B, C)
-        s = nn.Dense(c // self.reduction, use_bias=False, name="fc1")(s)
+        s = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype,
+                     name="fc1")(s)
         s = jax.nn.relu(s) if self.use_relu else swish(s)
-        s = nn.Dense(c, use_bias=False, name="fc2")(s)
+        s = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(s)
         s = jax.nn.sigmoid(s)
         return x * s[:, None, None, None, :]
 
