@@ -22,7 +22,7 @@ Layout: channel-last. `inputs` is (B, N, 3 + S); outputs (B, N, out).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -163,6 +163,7 @@ class PVConv(nn.Module):
     with_se_relu: bool = True
     normalize: bool = True
     eps: float = 0.0
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -172,27 +173,31 @@ class PVConv(nn.Module):
         g = ops.avg_voxelize(features, vox_coords, self.resolution)
 
         g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
-                    name="vconv0")(g)
-        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm0")(g)
+                    dtype=self.dtype, name="vconv0")(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                         name="vnorm0")(g)
         g = swish(g)
         g = nn.Dropout(self.dropout, name="vdrop")(
             g, deterministic=deterministic)
         g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
-                    name="vconv1")(g)
-        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1")(g)
+                    dtype=self.dtype, name="vconv1")(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                         name="vnorm1")(g)
         if self.attention:
             b, x, y, z, ch = g.shape
-            g = Attention(num_groups=8, name="vatt")(
+            g = Attention(num_groups=8, dtype=self.dtype, name="vatt")(
                 g.reshape(b, x * y * z, ch)).reshape(b, x, y, z, ch)
         else:
             g = swish(g)
         if self.with_se:
-            g = SE(use_relu=self.with_se_relu, name="se")(g)
+            g = SE(use_relu=self.with_se_relu, dtype=self.dtype,
+                   name="se")(g)
 
-        voxel_features = ops.trilinear_devoxelize(g, norm_coords)
-        point_features = SharedMLP((self.out_channels,),
+        voxel_features = ops.trilinear_devoxelize(
+            g.astype(jnp.float32), norm_coords)
+        point_features = SharedMLP((self.out_channels,), dtype=self.dtype,
                                    name="point_features")(features)
-        return voxel_features + point_features
+        return voxel_features + point_features.astype(jnp.float32)
 
 
 class PointNetSAModule(nn.Module):
@@ -209,6 +214,7 @@ class PointNetSAModule(nn.Module):
     num_neighbors: int
     mlp: Sequence[int]
     include_coordinates: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -221,8 +227,9 @@ class PointNetSAModule(nn.Module):
         nbr_feats = ops.grouping(features, nbr)
         if self.include_coordinates:
             nbr_feats = jnp.concatenate([nbr_coords, nbr_feats], axis=-1)
-        f = SharedMLP(tuple(self.mlp), name="mlp")(nbr_feats)  # (B, M, U, C)
-        f = f.max(axis=2)
+        f = SharedMLP(tuple(self.mlp), dtype=self.dtype,
+                      name="mlp")(nbr_feats)              # (B, M, U, C)
+        f = f.max(axis=2).astype(jnp.float32)
         return f, centers, temb
 
 
@@ -256,6 +263,7 @@ class PointNetFPModule(nn.Module):
     [interp(features) | temb | skip]."""
 
     mlp: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fine_coords: jnp.ndarray, coarse_coords: jnp.ndarray,
@@ -270,7 +278,8 @@ class PointNetFPModule(nn.Module):
         if skip_features is not None and skip_features.shape[-1] > 0:
             parts.append(skip_features)
         f = jnp.concatenate(parts, axis=-1)
-        return SharedMLP(tuple(self.mlp), name="mlp")(f), fine_coords, temb
+        f = SharedMLP(tuple(self.mlp), dtype=self.dtype, name="mlp")(f)
+        return f.astype(jnp.float32), fine_coords, temb
 
 
 # -------------------------------------------------------- encoder / decoder
@@ -285,6 +294,7 @@ class PVCNNEncoder(nn.Module):
     specs: PVCNN2Specs
     use_att: bool = True
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -306,8 +316,8 @@ class PVCNNEncoder(nn.Module):
                     axis=-1)
             for p, cs in enumerate(stage.convs):
                 f = PVConv(cs.out_channels, cs.resolution, cs.attention,
-                           dropout=self.dropout, name=f"sa{i}_conv{p}")(
-                    f, coords, deterministic)
+                           dropout=self.dropout, dtype=self.dtype,
+                           name=f"sa{i}_conv{p}")(f, coords, deterministic)
             sa = stage.sa
             if sa.num_centers is None:
                 f, coords, temb = PointNetAModule(
@@ -318,10 +328,12 @@ class PVCNNEncoder(nn.Module):
                 f, coords, temb = PointNetSAModule(
                     num_centers=sa.num_centers, radius=sa.radius,
                     num_neighbors=sa.num_neighbors, mlp=sa.mlp,
-                    name=f"sa{i}_pool")(f, coords, temb)
+                    dtype=self.dtype, name=f"sa{i}_pool")(f, coords, temb)
             features = f
         if self.use_att:
-            features = Attention(num_groups=8, name="global_att")(features)
+            features = Attention(num_groups=8, dtype=self.dtype,
+                                 name="global_att")(features)
+            features = features.astype(jnp.float32)
         return features, coords, temb, coords_list, in_features_list
 
 
@@ -332,6 +344,7 @@ class PVCNNDecoder(nn.Module):
     out_channels: int
     dropout: float = 0.1
     classifier_init_scale: Optional[float] = 1e-6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -341,17 +354,21 @@ class PVCNNDecoder(nn.Module):
             fine_coords = coords_list[-1 - fp_idx]
             skip = skip_list[-1 - fp_idx]
             features, coords, temb = PointNetFPModule(
-                mlp=stage.fp_mlp, name=f"fp{fp_idx}_mlp")(
+                mlp=stage.fp_mlp, dtype=self.dtype,
+                name=f"fp{fp_idx}_mlp")(
                 fine_coords, coords, features, skip, temb)
             for p, cs in enumerate(stage.convs):
                 features = PVConv(
                     cs.out_channels, cs.resolution, cs.attention,
-                    dropout=self.dropout, name=f"fp{fp_idx}_conv{p}")(
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"fp{fp_idx}_conv{p}")(
                     features, coords, deterministic)
 
         # classifier: SharedMLP(128) -> Dropout -> Dense(out)
         # (`pvcnn_utils.py:13-43` with out_channels=[128, dropout, out])
-        f = SharedMLP((128,), name="classifier_mlp")(features)
+        f = SharedMLP((128,), dtype=self.dtype,
+                      name="classifier_mlp")(features)
+        f = f.astype(jnp.float32)
         f = nn.Dropout(self.dropout, name="classifier_drop")(
             f, deterministic=deterministic)
         if self.classifier_init_scale is not None:
@@ -383,6 +400,9 @@ class PVCNN2(nn.Module):
     # PC2 re-initializes the classifier head to N(0, 1e-6^2)
     # (`point_cloud_model.py:38-39`); PVD keeps the default init.
     classifier_init_scale: Optional[float] = 1e-6
+    # compute dtype: None/f32 for parity; jnp.bfloat16 trades ~1e-2 relative
+    # activation error for ~2x MXU/HBM throughput (geometry ops stay f32)
+    dtype: Any = None
 
     def specs(self) -> PVCNN2Specs:
         return build_pvcnn2_specs(
@@ -403,11 +423,12 @@ class PVCNN2(nn.Module):
 
         feats, ccoords, ctemb, coords_list, skip_list = PVCNNEncoder(
             specs=specs, use_att=self.use_att, dropout=self.dropout,
-            name="encoder")(features, coords, temb, deterministic)
+            dtype=self.dtype, name="encoder")(features, coords, temb,
+                                              deterministic)
         skip_list[0] = inputs[..., 3:]
 
         return PVCNNDecoder(
             specs=specs, out_channels=self.out_channels, dropout=self.dropout,
             classifier_init_scale=self.classifier_init_scale,
-            name="decoder")(feats, ccoords, ctemb, coords_list, skip_list,
-                            deterministic)
+            dtype=self.dtype, name="decoder")(
+            feats, ccoords, ctemb, coords_list, skip_list, deterministic)
