@@ -15,7 +15,6 @@ from bdm_tpu.data.pix3d import Pix3DDataset
 def get_dataset(cfg):
     """Factory mirroring `dataset/__init__.py:6-16`: returns
     (loader_train, loader_val, loader_vis)."""
-    from bdm_tpu.config import ProjectConfig  # noqa: F401  (typing only)
     d = cfg.dataset
     common = dict(image_size=d.image_size, max_points=d.max_points)
     if d.type == "shapenet_r2n2":

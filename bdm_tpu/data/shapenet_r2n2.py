@@ -21,12 +21,9 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import List, Optional
-
 import numpy as np
 
 from bdm_tpu.conditioning.cameras import (
-    PerspectiveCamera,
     camera_from_r2n2,
     compute_camera_calibration,
     compute_extrinsic_matrix,

@@ -10,7 +10,7 @@ half-pixel convention).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ Layout: channel-last. `inputs` is (B, N, 3 + S); outputs (B, N, out).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn

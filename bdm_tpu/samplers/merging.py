@@ -9,7 +9,6 @@ merged x_{t-roll} (`nstep_fuse`, `model.py:510-570`).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, Optional, Sequence
 

@@ -15,7 +15,6 @@ around every call (`main_blending.py:176-183`); bdm_tpu is channel-last
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
