@@ -167,10 +167,14 @@ class PVConv(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
-        norm_coords, vox_coords = ops.normalize_coords(
-            coords, self.resolution, self.normalize, self.eps)
-        g = ops.avg_voxelize(features, vox_coords, self.resolution)
+                 deterministic: bool = True, vox_ctx=None) -> jnp.ndarray:
+        # the voxel context (normalize + sort + counts) is feature-free and
+        # shared by every PVConv of a stage when provided by the caller
+        if vox_ctx is None:
+            vox_ctx = ops.make_voxel_context(coords, self.resolution,
+                                             self.normalize, self.eps)
+        norm_coords = vox_ctx.norm_coords
+        g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
 
         g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                     dtype=self.dtype, name="vconv0")(g)
@@ -314,10 +318,14 @@ class PVCNNEncoder(nn.Module):
                      jnp.broadcast_to(temb[:, None, :],
                                       (temb.shape[0], n, temb.shape[-1]))],
                     axis=-1)
+            vox_ctx = (ops.make_voxel_context(coords,
+                                              stage.convs[0].resolution)
+                       if stage.convs else None)
             for p, cs in enumerate(stage.convs):
                 f = PVConv(cs.out_channels, cs.resolution, cs.attention,
                            dropout=self.dropout, dtype=self.dtype,
-                           name=f"sa{i}_conv{p}")(f, coords, deterministic)
+                           name=f"sa{i}_conv{p}")(f, coords, deterministic,
+                                                  vox_ctx)
             sa = stage.sa
             if sa.num_centers is None:
                 f, coords, temb = PointNetAModule(
@@ -357,12 +365,15 @@ class PVCNNDecoder(nn.Module):
                 mlp=stage.fp_mlp, dtype=self.dtype,
                 name=f"fp{fp_idx}_mlp")(
                 fine_coords, coords, features, skip, temb)
+            vox_ctx = (ops.make_voxel_context(coords,
+                                              stage.convs[0].resolution)
+                       if stage.convs else None)
             for p, cs in enumerate(stage.convs):
                 features = PVConv(
                     cs.out_channels, cs.resolution, cs.attention,
                     dropout=self.dropout, dtype=self.dtype,
                     name=f"fp{fp_idx}_conv{p}")(
-                    features, coords, deterministic)
+                    features, coords, deterministic, vox_ctx)
 
         # classifier: SharedMLP(128) -> Dropout -> Dense(out)
         # (`pvcnn_utils.py:13-43` with out_channels=[128, dropout, out])

@@ -15,6 +15,9 @@ All functions take channel-LAST arrays:
 from bdm_tpu.ops.voxelize import (
     normalize_coords,
     avg_voxelize,
+    avg_voxelize_ctx,
+    make_voxel_context,
+    VoxelContext,
     trilinear_devoxelize,
 )
 from bdm_tpu.ops.sampling import furthest_point_sample, gather
@@ -25,6 +28,9 @@ from bdm_tpu.ops.interpolate import three_nn, three_nn_interpolate
 __all__ = [
     "normalize_coords",
     "avg_voxelize",
+    "avg_voxelize_ctx",
+    "make_voxel_context",
+    "VoxelContext",
     "trilinear_devoxelize",
     "furthest_point_sample",
     "gather",
