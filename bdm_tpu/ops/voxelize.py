@@ -171,22 +171,27 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray) -> jnp.nda
 
     flat = grid.reshape(b, r * r * r, c)
     base = _flat_voxel_ids(lo, r)                  # (B, N)
-    strides = jnp.array([r * r, r, 1], dtype=jnp.int32)
+    strides = (r * r, r, 1)
 
-    out = jnp.zeros((b, n, c), dtype=grid.dtype)
-    # 8 corners, unrolled statically (XLA fuses the gathers).
+    # all 8 corners in ONE gather of (B, 8N) indices, then a weighted sum
+    idx_list, w_list = [], []
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 offs = (dx * step[..., 0] * strides[0]
                         + dy * step[..., 1] * strides[1]
                         + dz * step[..., 2] * strides[2])
-                w = ((frac[..., 0] if dx else 1.0 - frac[..., 0])
-                     * (frac[..., 1] if dy else 1.0 - frac[..., 1])
-                     * (frac[..., 2] if dz else 1.0 - frac[..., 2]))
-                vals = jnp.take_along_axis(flat, (base + offs)[..., None], axis=1)
-                out = out + w[..., None] * vals
-    return out
+                idx_list.append(base + offs)
+                w_list.append(
+                    (frac[..., 0] if dx else 1.0 - frac[..., 0])
+                    * (frac[..., 1] if dy else 1.0 - frac[..., 1])
+                    * (frac[..., 2] if dz else 1.0 - frac[..., 2]))
+    idx = jnp.stack(idx_list, axis=2).reshape(b, n * 8)        # (B, 8N)
+    w = jnp.stack(w_list, axis=2)                              # (B, N, 8)
+    vals = jnp.take_along_axis(flat, idx[..., None],
+                               axis=1).reshape(b, n, 8, c)
+    return jnp.einsum("bnk,bnkc->bnc", w, vals,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def point_to_voxel_to_point(features: jnp.ndarray, coords: jnp.ndarray,
