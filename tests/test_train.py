@@ -173,3 +173,29 @@ def test_train_loop_nan_guard():
         train_loop(state, bad_loss, tx, batches, max_steps=5,
                    key=jax.random.PRNGKey(0), log_step_freq=1,
                    print_freq=100)
+
+
+def test_sharded_inference_step():
+    """Inference DP: the denoise step runs with the batch sharded over the
+    8-device mesh (sampling's per-step compute path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = get_mesh(8)
+    pc2, params = _pc2_and_params()
+    batch = tiny_batch(np.random.default_rng(6))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * (8 // B), axis=0), batch)
+    batch = shard_batch(batch, mesh)
+
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def denoise(params, batch):
+        cond = pc2.conditioning_map(params, batch["image"])
+        x_t = batch["points"]
+        t = jnp.zeros((x_t.shape[0],), jnp.int32)
+        return pc2.denoise(params, x_t, t, batch["camera"], cond)
+
+    out = denoise(jax.device_put(params, rep), batch)
+    assert out.shape == (8, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
