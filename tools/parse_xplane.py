@@ -1,0 +1,60 @@
+"""Parse a jax.profiler .xplane.pb trace and print per-op self times.
+
+The tensorboard profile plugin's converter is incompatible with this
+image's TF/protobuf, so we carry a minimal xplane.proto and compile it
+with protoc on first use.
+
+    python tools/parse_xplane.py /tmp/bdm_prof [--iters 3] [--top 25]
+"""
+
+import argparse
+import collections
+import glob
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_proto():
+    out = os.path.join(HERE, "xplane")
+    if not os.path.exists(os.path.join(out, "xplane_pb2.py")):
+        subprocess.run(["protoc", f"--python_out={out}", "xplane.proto"],
+                       cwd=out, check=True)
+    sys.path.insert(0, out)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("trace_dir")
+    parser.add_argument("--iters", type=int, default=1,
+                        help="divide totals by this many profiled steps")
+    parser.add_argument("--top", type=int, default=25)
+    args = parser.parse_args()
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    ensure_proto()
+    import xplane_pb2
+
+    files = sorted(glob.glob(os.path.join(args.trace_dir, "**",
+                                          "*.xplane.pb"), recursive=True))
+    if not files:
+        raise SystemExit(f"no .xplane.pb under {args.trace_dir}")
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[-1], "rb").read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        tot = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                tot[plane.event_metadata[ev.metadata_id].name] += \
+                    ev.duration_ps
+        print(f"== {plane.name} (top {args.top} by total time)")
+        for name, ps in tot.most_common(args.top):
+            print(f"{ps / args.iters / 1e6:10.1f} us/iter  {name[:95]}")
+
+
+if __name__ == "__main__":
+    main()
