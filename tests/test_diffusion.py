@@ -142,3 +142,30 @@ def test_gaussian_q_sample_matches_ddpm_form():
     for bi, ti in enumerate([3, 70]):
         want = np.sqrt(acp[ti]) - np.sqrt(1 - acp[ti])
         np.testing.assert_allclose(got[bi], np.float32(want), rtol=1e-5)
+
+
+def test_ddim_eta_nonzero_adds_noise():
+    sched = diffusion.DDIMScheduler(diffusion.linear_betas(1e-4, 2e-2, 100))
+    sched.set_timesteps(100)
+    x_t = jnp.ones((1, 8, 3))
+    eps = jnp.zeros((1, 8, 3))
+    det = sched.step(eps, 50, x_t)
+    a = sched.step(eps, 50, x_t, key=jax.random.PRNGKey(0), eta=1.0)
+    b = sched.step(eps, 50, x_t, key=jax.random.PRNGKey(1), eta=1.0)
+    # eta>0 is stochastic; eta=0 deterministic
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert np.allclose(np.asarray(det), np.asarray(sched.step(eps, 50, x_t)))
+
+
+def test_gaussian_fixedlarge_variance():
+    betas = diffusion.pvd_betas("linear", 1e-4, 2e-2, 50)
+    gd = diffusion.GaussianDiffusion(betas, model_var_type="fixedlarge")
+    want = np.log(np.concatenate([
+        (betas * (1 - np.append(1.0, np.cumprod(1 - betas)[:-1]))
+         / (1 - np.cumprod(1 - betas)))[1:2], betas[1:]]))
+    np.testing.assert_allclose(np.asarray(gd.fixedlarge_log_variance), want,
+                               rtol=1e-5)
+    denoise = lambda x, t: jnp.zeros_like(x)  # noqa: E731
+    out = gd.p_sample_window(denoise, jnp.ones((1, 8, 3)), 5, 0,
+                             jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
