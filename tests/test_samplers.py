@@ -172,3 +172,16 @@ def test_pc2_sample_evolutions(pc2, pc2_params):
                           return_sample_every_n_steps=2)
     assert out.shape == (B, N, 3)
     assert evo.shape == (B, 2, N, 3)
+
+
+def test_bdm_blending_ddim_milestone_mapping(pc2, pc2_params, pvd,
+                                             pvd_params):
+    """DDIM mode: recon runs in the reduced step space while the prior
+    maps milestones x1000/64 and rolls 16x (`main_blending.py:214-222`)."""
+    rng = np.random.default_rng(10)
+    out = bdm_blending(pc2, pc2_params, pvd, pvd_params, tiny_batch(rng),
+                       jax.random.PRNGKey(16), num_points=N,
+                       milestones=[4, 3, 2, 0], roll_step=1,
+                       scheduler="ddim", num_inference_steps=4)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
