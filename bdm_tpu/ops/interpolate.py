@@ -18,12 +18,15 @@ import jax
 import jax.numpy as jnp
 
 
-def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
+def three_nn(points: jnp.ndarray, centers: jnp.ndarray,
+             use_pallas: bool | None = None):
     """Indices and inverse-distance weights of each point's 3 nearest centers.
 
     Args:
         points: (B, N, 3) query points.
         centers: (B, M, 3) source centers (M >= 1).
+        use_pallas: force the fused Pallas kernel on/off (default: auto —
+            TPU backend + tiling-compatible shapes).
 
     Returns:
         indices: (B, N, 3) int32.
@@ -31,6 +34,15 @@ def three_nn(points: jnp.ndarray, centers: jnp.ndarray):
     """
     b, n, _ = points.shape
     m = centers.shape[1]
+
+    from bdm_tpu.ops.sampling import _PALLAS_OVERRIDE
+    if use_pallas is None:
+        use_pallas = _PALLAS_OVERRIDE
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and m >= 3 and n % min(n, 512) == 0:
+        from bdm_tpu.ops.pallas.three_nn import three_nn_pallas
+        return three_nn_pallas(points, centers)
 
     d2 = jnp.zeros((b, n, m), dtype=jnp.float32)
     for ax in range(3):

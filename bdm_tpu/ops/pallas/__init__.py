@@ -8,5 +8,7 @@ fallback.
 
 from bdm_tpu.ops.pallas.fps import furthest_point_sample_pallas
 from bdm_tpu.ops.pallas.ball_query import ball_query_pallas
+from bdm_tpu.ops.pallas.three_nn import three_nn_pallas
 
-__all__ = ["furthest_point_sample_pallas", "ball_query_pallas"]
+__all__ = ["furthest_point_sample_pallas", "ball_query_pallas",
+           "three_nn_pallas"]

@@ -238,3 +238,13 @@ def test_pallas_ball_query_matches_reference(rng):
                                        jnp.asarray(points), 0.4, 8, True))
     want = np_ball_query(centers, points, 0.4, 8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_three_nn_matches_reference(rng):
+    from bdm_tpu.ops.pallas import three_nn_pallas
+    points = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    centers = rng.standard_normal((2, 9, 3)).astype(np.float32)
+    idx, w = three_nn_pallas(jnp.asarray(points), jnp.asarray(centers), True)
+    idx_ref, w_ref = np_three_nn(points, centers)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-5)
