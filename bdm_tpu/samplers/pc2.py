@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,24 @@ class ProjectionConfig:
     beta_schedule: str = "linear"
     point_cloud_model: str = "pvcnn"
     point_cloud_model_embed_dim: int = 64
+
+
+class Conditioning(NamedTuple):
+    """Image conditioning, computed once per image. `local_map` is the
+    per-pixel map lifted onto points by surface projection; `global_feats`
+    is the ViT CLS token appended to every point when
+    `use_global_features` is on (`projection_model.py:102-108,222-228`).
+
+    NOTE: the reference's global path cannot actually run — it calls its
+    feature model with a nonexistent `return_cls_token_only` kwarg
+    (`projection_model.py:105`), so enabling the flag crashes there. This
+    implements the documented intent (CLS token broadcast per point); in
+    'identity' feature mode (which has no CLS token) the global feature is
+    the spatial mean of the image.
+    """
+
+    local_map: jnp.ndarray                    # (B, H, W, C_local)
+    global_feats: Optional[jnp.ndarray]       # (B, D) or None
 
 
 class PC2Model:
@@ -110,7 +128,7 @@ class PC2Model:
         self.schedulers = {
             name: make_scheduler(name, cfg.beta_start, cfg.beta_end,
                                  cfg.beta_schedule)
-            for name in ("ddpm", "ddim")
+            for name in ("ddpm", "ddim", "pndm")
         }
         self.num_train_timesteps = self.schedulers["ddpm"].num_train_timesteps
 
@@ -138,12 +156,19 @@ class PC2Model:
                                         distance_transform)
 
     def _conditioning_map_impl(self, params, image, mask,
-                               distance_transform) -> jnp.ndarray:
+                               distance_transform):
         cfg = self.cfg
-        parts = []
+        identity = cfg.image_feature_model == "identity"
+        parts, gfeats = [], None
         if cfg.use_local_colors:
             parts.append((image - cfg.colors_mean) / cfg.colors_std)
-        if cfg.use_local_features:
+        if cfg.use_local_features and cfg.use_global_features and not identity:
+            # one ViT forward serves both (reference
+            # `feature_model.py:100,127-132` return_type='all')
+            gfeats, feats = self.feature_model.apply(
+                params["feature_model"], image, return_type="all")
+            parts.append(feats)
+        elif cfg.use_local_features:
             parts.append(self.feature_model.apply(
                 params["feature_model"], image))
         if cfg.use_mask:
@@ -154,17 +179,36 @@ class PC2Model:
                 "distance transform is computed host-side (cv2) and passed "
                 "in the batch")
             parts.append(distance_transform)
-        return jnp.concatenate(parts, axis=-1)
+        if cfg.use_global_features and gfeats is None:
+            if identity:
+                gfeats = image.mean(axis=(1, 2))          # (B, 3)
+            else:
+                gfeats = self.feature_model.apply(
+                    params["feature_model"], image, return_type="cls_token")
+        local = jnp.concatenate(parts, axis=-1)
+        if cfg.use_global_features:
+            return Conditioning(local, gfeats)
+        return local
 
     def x_t_input(self, x_t: jnp.ndarray, camera: PerspectiveCamera,
-                  cond_map: jnp.ndarray) -> jnp.ndarray:
-        """Concat [x_t | projected local features] per
-        `get_input_with_conditioning` (`projection_model.py:179-231`)."""
+                  cond_map) -> jnp.ndarray:
+        """Concat [x_t | projected local features | global features] per
+        `get_input_with_conditioning` (`projection_model.py:179-231`).
+        `cond_map` is either the bare local map or a `Conditioning`."""
+        if isinstance(cond_map, Conditioning):
+            local_map, gfeats = cond_map.local_map, cond_map.global_feats
+        else:
+            local_map, gfeats = cond_map, None
         proj = surface_projection(
-            x_t[..., :3], camera, cond_map,
+            x_t[..., :3], camera, local_map,
             radius=self.cfg.raster_point_radius,
             scale_factor=self.cfg.scale_factor)
-        return jnp.concatenate([x_t, proj], axis=-1)
+        parts = [x_t, proj]
+        if gfeats is not None:
+            n = x_t.shape[1]
+            parts.append(jnp.broadcast_to(
+                gfeats[:, None, :], (gfeats.shape[0], n, gfeats.shape[-1])))
+        return jnp.concatenate(parts, axis=-1)
 
     def denoise(self, params, x_t, t, camera, cond_map,
                 deterministic: bool = True, rngs=None) -> jnp.ndarray:
@@ -228,6 +272,17 @@ class PC2Model:
         cond_map = self.conditioning_map(
             params, batch["image"], batch.get("mask"),
             batch.get("distance_transform"))
+        if scheduler == "pndm":
+            # PNDM carries multistep state across the whole trajectory, so
+            # it only supports the full reverse loop (the reference never
+            # composes it with BDM windows either).
+            if return_sample_every_n_steps > 0:
+                raise NotImplementedError(
+                    "evolutions are not supported with the pndm scheduler")
+            out = _jitted_pndm_scan(self, params, x_t, batch["camera"],
+                                    cond_map,
+                                    jnp.asarray(timesteps, jnp.int32))
+            return out / self.cfg.scale_factor
         if return_sample_every_n_steps <= 0:
             out = self._window_scan(params, x_t, batch["camera"], cond_map,
                                     list(timesteps), sched, k_loop, eta,
@@ -276,6 +331,24 @@ def _jitted_conditioning_map(pc2: "PC2Model", params, image, mask,
                              distance_transform):
     return pc2._conditioning_map_impl(params, image, mask,
                                       distance_transform)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_pndm_scan(pc2: "PC2Model", params, x_t, camera, cond_map,
+                      ts) -> jnp.ndarray:
+    """Full PNDM reverse loop: a scan carrying (x, PNDMState)."""
+    sched = pc2.schedulers["pndm"]
+    b = x_t.shape[0]
+
+    def body(carry, t_scalar):
+        x, st = carry
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        eps = pc2.denoise(params, x, t, camera, cond_map)
+        x, st = sched.step(eps, t_scalar, x, st)
+        return (x, st), None
+
+    (out, _), _ = jax.lax.scan(body, (x_t, sched.init_state(x_t.shape)), ts)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

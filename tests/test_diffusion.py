@@ -169,3 +169,152 @@ def test_gaussian_fixedlarge_variance():
     out = gd.p_sample_window(denoise, jnp.ones((1, 8, 3)), 5, 0,
                              jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------- PNDM
+
+class _PNDMOracle:
+    """Stateful NumPy transcription of diffusers==0.21.0 PNDMScheduler
+    (scheduling_pndm.py), used as an independent oracle for the functional
+    JAX implementation."""
+
+    def __init__(self, betas, skip_prk_steps=False):
+        betas = np.asarray(betas, np.float64)
+        self.T = len(betas)
+        self.acp = np.cumprod(1 - betas)
+        self.final_acp = self.acp[0]          # set_alpha_to_one=False
+        self.skip_prk_steps = skip_prk_steps
+        self.pndm_order = 4
+
+    def set_timesteps(self, n):
+        self.n = n
+        ratio = self.T // n
+        base = (np.arange(0, n) * ratio).round().astype(np.int64)
+        if self.skip_prk_steps:
+            self.prk = np.array([], np.int64)
+            self.plms = np.concatenate(
+                [base[:-1], base[-2:-1], base[-1:]])[::-1]
+        else:
+            prk = np.array(base[-self.pndm_order:]).repeat(2) + np.tile(
+                np.array([0, ratio // 2]), self.pndm_order)
+            self.prk = (prk[:-1].repeat(2)[1:-1])[::-1].copy()
+            self.plms = base[:-3][::-1].copy()
+        self.ets, self.counter = [], 0
+        self.cur_model_output = 0
+        self.cur_sample = None
+        return np.concatenate([self.prk, self.plms]).astype(np.int64)
+
+    def _prev(self, sample, t, prev_t, out):
+        acp_t = self.acp[min(t, self.T - 1)]
+        acp_prev = self.acp[prev_t] if prev_t >= 0 else self.final_acp
+        coeff = (acp_prev / acp_t) ** 0.5
+        denom = (acp_t * (1 - acp_prev) ** 0.5
+                 + (acp_t * (1 - acp_t) * acp_prev) ** 0.5)
+        return coeff * sample - (acp_prev - acp_t) * out / denom
+
+    def step(self, eps, t, x):
+        if self.counter < len(self.prk) and not self.skip_prk_steps:
+            return self._step_prk(eps, t, x)
+        return self._step_plms(eps, t, x)
+
+    def _step_prk(self, eps, t, x):
+        ratio = self.T // self.n
+        diff_to_prev = 0 if self.counter % 2 else ratio // 2
+        prev_t = t - diff_to_prev
+        t = self.prk[(self.counter // 4) * 4]
+        if self.counter % 4 == 0:
+            self.cur_model_output = self.cur_model_output + eps / 6
+            self.ets.append(eps)
+            self.cur_sample = x
+        elif (self.counter - 1) % 4 == 0:
+            self.cur_model_output = self.cur_model_output + eps / 3
+        elif (self.counter - 2) % 4 == 0:
+            self.cur_model_output = self.cur_model_output + eps / 3
+        elif (self.counter - 3) % 4 == 0:
+            eps = self.cur_model_output + eps / 6
+            self.cur_model_output = 0
+        sample = self.cur_sample if self.cur_sample is not None else x
+        self.counter += 1
+        return self._prev(sample, t, prev_t, eps)
+
+    def _step_plms(self, eps, t, x):
+        ratio = self.T // self.n
+        prev_t = t - ratio
+        if self.counter != 1:
+            self.ets = self.ets[-3:]
+            self.ets.append(eps)
+        else:
+            prev_t = t
+            t = t + ratio
+        if len(self.ets) == 1 and self.counter == 0:
+            out = eps
+            self.cur_sample = x
+        elif len(self.ets) == 1 and self.counter == 1:
+            out = (eps + self.ets[-1]) / 2
+            x = self.cur_sample
+            self.cur_sample = None
+        elif len(self.ets) == 2:
+            out = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            out = (23 * self.ets[-1] - 16 * self.ets[-2]
+                   + 5 * self.ets[-3]) / 12
+        else:
+            out = (55 * self.ets[-1] - 59 * self.ets[-2]
+                   + 37 * self.ets[-3] - 9 * self.ets[-4]) / 24
+        self.counter += 1
+        return self._prev(x, t, prev_t, out)
+
+
+def _pndm_trajectory_check(skip_prk, n_infer, t_train=100):
+    betas = diffusion.linear_betas(1e-4, 2e-2, t_train)
+    sched = diffusion.PNDMScheduler(betas, skip_prk_steps=skip_prk)
+    oracle = _PNDMOracle(betas, skip_prk_steps=skip_prk)
+    ts = sched.set_timesteps(n_infer)
+    ts_oracle = oracle.set_timesteps(n_infer)
+    np.testing.assert_array_equal(ts, ts_oracle)
+
+    rng = np.random.default_rng(0)
+    shape = (2, 5, 3)
+    x = rng.standard_normal(shape)
+    xj = jnp.asarray(x, jnp.float32)
+    state = sched.init_state(shape)
+    # eps depends deterministically on the step so both sides agree without
+    # sharing a model
+    for i, t in enumerate(ts):
+        eps = np.sin(0.1 * i + x * 0.0 + np.arange(3)) + 0.01 * i
+        x = oracle.step(eps, int(t), x)
+        xj, state = sched.step(jnp.asarray(eps, jnp.float32), int(t), xj,
+                               state)
+        np.testing.assert_allclose(np.asarray(xj), x, rtol=2e-4, atol=2e-4)
+
+
+def test_pndm_matches_oracle_with_prk():
+    _pndm_trajectory_check(skip_prk=False, n_infer=10)
+
+
+def test_pndm_matches_oracle_with_prk_full_steps():
+    _pndm_trajectory_check(skip_prk=False, n_infer=100)
+
+
+def test_pndm_matches_oracle_skip_prk():
+    _pndm_trajectory_check(skip_prk=True, n_infer=10)
+
+
+def test_pndm_timesteps_structure():
+    sched = diffusion.PNDMScheduler(diffusion.linear_betas(1e-4, 2e-2, 1000))
+    ts = sched.set_timesteps(50)
+    # 12 PRK warmup steps + (n-3) PLMS steps
+    assert sched.prk_len == 12
+    assert len(ts) == 12 + 50 - 3
+    assert ts[-1] == 0 and ts.max() < 1000
+
+
+def test_pndm_in_scheduler_factory():
+    sched = diffusion.make_scheduler("pndm", 1e-5, 8e-3)
+    assert isinstance(sched, diffusion.PNDMScheduler)
+    x0 = jnp.ones((1, 4, 3))
+    noise = jnp.zeros((1, 4, 3))
+    out = sched.add_noise(x0, noise, jnp.array([10]))
+    acp = np.cumprod(1 - np.asarray(diffusion.linear_betas(1e-5, 8e-3, 1000)))
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
+                               np.float32(np.sqrt(acp[10])), rtol=1e-5)

@@ -248,3 +248,35 @@ def test_pallas_three_nn_matches_reference(rng):
     idx_ref, w_ref = np_three_nn(points, centers)
     np.testing.assert_array_equal(np.asarray(idx), idx_ref)
     np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-5)
+
+
+def test_avg_voxelize_ctx_matches_standalone(rng):
+    """The scatter-free (sort+cumsum+searchsorted) context path must equal
+    the standalone scatter-mean for random clouds."""
+    coords = jnp.asarray(rng.standard_normal((3, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((3, 64, 7)).astype(np.float32))
+    r = 4
+    from bdm_tpu.ops.voxelize import normalize_coords
+    _, vox = normalize_coords(coords, r)
+    want = ops.avg_voxelize(feats, vox, r)
+    ctx = ops.make_voxel_context(coords, r)
+    got = ops.avg_voxelize_ctx(feats, ctx, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_avg_voxelize_ctx_grad_matches_standalone(rng):
+    coords = jnp.asarray(rng.standard_normal((2, 32, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((2, 32, 5)).astype(np.float32))
+    r = 3
+    from bdm_tpu.ops.voxelize import normalize_coords
+    _, vox = normalize_coords(coords, r)
+    ctx = ops.make_voxel_context(coords, r)
+    # weighted sum so the gradient is nontrivial per output element
+    w = jnp.asarray(rng.standard_normal((2, r, r, r, 5)).astype(np.float32))
+    g_ctx = jax.grad(
+        lambda f: (ops.avg_voxelize_ctx(f, ctx, r) * w).sum())(feats)
+    g_ref = jax.grad(
+        lambda f: (ops.avg_voxelize(f, jnp.asarray(vox), r) * w).sum())(feats)
+    np.testing.assert_allclose(np.asarray(g_ctx), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)

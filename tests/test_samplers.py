@@ -185,3 +185,39 @@ def test_bdm_blending_ddim_milestone_mapping(pc2, pc2_params, pvd,
                        scheduler="ddim", num_inference_steps=4)
     assert out.shape == (B, N, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pc2_sample_pndm(pc2, pc2_params):
+    """PNDM full-loop sampling: 100 train steps are the model's default
+    1000 here, so use a divisor window; checks shape/finiteness and that
+    the trajectory differs from DDPM (different integrator)."""
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng)
+    out = pc2.sample(pc2_params, batch, jax.random.PRNGKey(5),
+                     num_points=N, scheduler="pndm", num_inference_steps=10)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    ddpm = pc2.sample(pc2_params, batch, jax.random.PRNGKey(5),
+                      num_points=N, scheduler="ddpm", num_inference_steps=10)
+    assert not np.allclose(np.asarray(out), np.asarray(ddpm))
+
+
+def test_pc2_global_features_loss_and_sample():
+    """use_global_features (reference `projection_model.py:72,102-108`):
+    CLS-token (identity: image-mean) features appended per point. The
+    channel accounting and the producer must agree."""
+    cfg = ProjectionConfig(
+        image_size=S, image_feature_model="identity",
+        raster_point_radius=0.3, point_cloud_model_embed_dim=8,
+        use_global_features=True)
+    model = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+    assert model.in_channels == 12  # 3 xyz + 3 colors + 3 local + 3 global
+    params = model.init_params(jax.random.PRNGKey(0), num_points=N)
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng)
+    loss = model.loss(params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    out = model.sample(params, batch, jax.random.PRNGKey(3),
+                       num_points=N, num_inference_steps=2)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
