@@ -80,6 +80,11 @@ def train(cfg: ProjectConfig) -> None:
             wandb_logger.log({k: float(v) for k, v in metrics.items()},
                              step=step)
 
+    callbacks = [wandb_cb]
+    if cfg.run.val_freq and cfg.run.val_freq > 0:
+        callbacks.append(make_val_callback(
+            cfg, pc2, loader_val, mesh, logger, wandb_logger))
+
     state = train_loop(
         state, pc2.loss, tx, loader_train.infinite(),
         max_steps=cfg.run.max_steps, key=jax.random.PRNGKey(cfg.run.seed),
@@ -87,11 +92,47 @@ def train(cfg: ProjectConfig) -> None:
         checkpoint_freq=cfg.run.checkpoint_freq,
         print_freq=cfg.run.print_step_freq,
         log_step_freq=cfg.run.log_step_freq, logger=logger,
-        lr_schedule=schedule, callbacks=[wandb_cb])
+        lr_schedule=schedule, callbacks=callbacks)
     wandb_logger.finish()
     save_checkpoint(ckpt_dir, state, config=to_dict(cfg))
     print(f"Training done at step {int(state.step)}; checkpoints in "
           f"{ckpt_dir}")
+
+
+def make_val_callback(cfg: ProjectConfig, pc2, loader_val, mesh, logger,
+                      wandb_logger):
+    """Every `run.val_freq` steps compute the eps-MSE loss on held-out
+    batches (fixed PRNG key, so the metric is comparable across evals) and
+    log it — the reference's in-loop validation (`main.py:286-303`,
+    `run.val_freq` / `run.limit_val_batches`)."""
+    from bdm_tpu.data.loader import model_batch
+    from bdm_tpu.parallel import shard_batch
+
+    limit = cfg.run.limit_val_batches or 1
+    val_batches = []
+    for bi, batch in enumerate(loader_val):
+        if bi >= limit:
+            break
+        b = model_batch(batch)
+        if mesh is not None:
+            b = shard_batch(b, mesh)
+        val_batches.append(b)
+    val_loss_fn = jax.jit(pc2.loss)
+
+    def val_cb(step, state, metrics):
+        if step % cfg.run.val_freq != 0 or not val_batches:
+            return
+        params = state.ema_params if state.ema_params is not None \
+            else state.params
+        losses = [float(val_loss_fn(params, b, jax.random.PRNGKey(0)))
+                  for b in val_batches]
+        val_loss = float(np.mean(losses))
+        logger.update(val_loss=val_loss)
+        logger.log_jsonl(step, val_loss=val_loss)
+        wandb_logger.log({"val_loss": val_loss}, step=step)
+        print(f"val @ step {step}: loss {val_loss:.4f}")
+
+    return val_cb
 
 
 def sample(cfg: ProjectConfig) -> None:

@@ -52,10 +52,16 @@ def test_cli_train_and_sample(tmp_path, tiny_build):
         "run.job=train", f"run.save_dir={save}", "run.name=smoke",
         "run.max_steps=3", "run.checkpoint_freq=3", "run.print_step_freq=1",
         "run.log_step_freq=1", "scheduler.num_warmup_steps=1",
+        "run.val_freq=2", "run.limit_val_batches=1",
     ])
     ckpt = os.path.join(save, "smoke", "checkpoint-latest")
     assert os.path.exists(ckpt)
-    assert os.path.exists(os.path.join(save, "smoke", "train_log.jsonl"))
+    log_path = os.path.join(save, "smoke", "train_log.jsonl")
+    assert os.path.exists(log_path)
+    # in-loop validation (run.val_freq) must have logged a val metric
+    import json
+    recs = [json.loads(line) for line in open(log_path)]
+    assert any("val_loss" in r for r in recs), recs
 
     main(BASE_ARGS + [
         "run.job=sample", f"run.save_dir={save}", "run.name=smoke",
