@@ -31,6 +31,8 @@ def projection_config(cfg: ProjectConfig) -> ProjectionConfig:
         colors_std=m.colors_std,
         color_channels=m.color_channels,
         scale_factor=float(m.scale_factor),
+        raster_point_radius=m.raster_point_radius,
+        raster_splat=m.raster_splat,
         beta_start=m.beta_start,
         beta_end=m.beta_end,
         beta_schedule=m.beta_schedule,

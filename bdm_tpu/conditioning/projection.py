@@ -5,14 +5,20 @@ Semantics of the reference's `surface_projection`
 radius=0.0075, points_per_pixel=1): each point is projected to NDC; a pixel
 is claimed by the nearest-in-z point whose NDC position lies within
 `radius` of the pixel center; points that win a pixel receive that pixel's
-feature vector, all other points receive zeros.
+feature vector, all other points receive zeros. (A point winning several
+pixels receives one of them — the reference's `local_features_proj[idx] =`
+scatter with duplicate indices keeps an arbitrary write.)
 
 TPU design: a z-buffer built with a scatter-min over flattened pixel ids —
-no sorting, no fragments structure. We assign each point to its single
-nearest pixel center (with a 224-px image and radius 0.0075, a point's
-nearest center is always within the radius; the reference can additionally
-splat a point onto 1-3 neighboring centers, whose bilinearly-upsampled
-features are nearly identical — a documented approximation).
+no sorting, no fragments structure. Two splat modes:
+
+  * "multi" (default): each point competes for every pixel center within
+    `radius` — a static K x K candidate window with K derived from
+    radius/pitch. At the production setting (224 px, radius 0.0075 <
+    pixel pitch 2/224) K=2, and the window provably contains ALL centers
+    within radius, so this is EXACTLY the PyTorch3D rasterization.
+  * "nearest": each point competes only for its single nearest center
+    (round 1's approximation, kept for A/B measurement).
 
 The projection runs per sampling step (it depends on x_t), but the feature
 map itself is constant across steps and must be computed ONCE outside the
@@ -21,6 +27,8 @@ sampling scan — unlike the reference, which re-runs its ViT every step
 """
 
 from __future__ import annotations
+
+import math
 
 import jax.numpy as jnp
 
@@ -59,9 +67,53 @@ def project_points_to_pixels(points: jnp.ndarray, camera: PerspectiveCamera,
     return pixel_id, z, inside
 
 
+def project_points_to_pixels_multi(points: jnp.ndarray,
+                                   camera: PerspectiveCamera,
+                                   image_size: int, radius: float):
+    """Candidate pixels of each point: EVERY center within `radius` in NDC.
+
+    Returns (pixel_id (B, N, K*K) int32, z (B, N), valid (B, N, K*K)) where
+    K is the static per-axis candidate count. Since pixel centers form a
+    grid of pitch 2/S in NDC, all centers within radius lie in a K-window
+    around the point with K = floor(2*radius/pitch) + 1 — at the production
+    radius (< pitch) K=2, i.e. the 4 corners of the point's pixel cell.
+    This replicates the PointsRasterizer candidate test
+    (`projection_model.py:87-92,141-145`).
+    """
+    s = image_size
+    x_ndc, y_ndc, z = camera.transform_points_ndc(points)
+    x_pix_f = (s * (1.0 - x_ndc) - 1.0) / 2.0
+    y_pix_f = (s * (1.0 - y_ndc) - 1.0) / 2.0
+
+    pitch = 2.0 / s
+    rp = radius / pitch                     # radius in pixel units
+    k = int(math.floor(2.0 * rp)) + 1
+
+    # first integer strictly greater than x - rp
+    x_base = jnp.floor(x_pix_f - rp).astype(jnp.int32) + 1
+    y_base = jnp.floor(y_pix_f - rp).astype(jnp.int32) + 1
+    offs = jnp.arange(k, dtype=jnp.int32)
+    xs = x_base[..., None] + offs           # (B, N, K)
+    ys = y_base[..., None] + offs
+
+    dx = (x_pix_f[..., None] - xs) * pitch  # (B, N, K)
+    dy = (y_pix_f[..., None] - ys) * pitch
+    d2 = (dx * dx)[..., None, :] + (dy * dy)[..., :, None]  # (B, N, Ky, Kx)
+    within = d2 < (radius * radius)
+
+    inside = ((xs >= 0) & (xs < s))[..., None, :] \
+        & ((ys >= 0) & (ys < s))[..., :, None] \
+        & (z > 0)[..., None, None] & within
+    pid = ys[..., :, None] * s + xs[..., None, :]            # (B, N, Ky, Kx)
+    b, n = z.shape
+    pid = jnp.where(inside, pid, s * s).reshape(b, n, k * k)
+    return pid, z, inside.reshape(b, n, k * k)
+
+
 def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
                        feature_map: jnp.ndarray, radius: float = 0.0075,
-                       scale_factor: float = 1.0) -> jnp.ndarray:
+                       scale_factor: float = 1.0,
+                       splat: str = "multi") -> jnp.ndarray:
     """Gather each visible point's pixel feature; zeros for occluded points.
 
     Args:
@@ -71,6 +123,8 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
             features [+ mask/distance transform]).
         radius: rasterization point radius in NDC.
         scale_factor: multiplies camera T (`projection_model.py:136-137`).
+        splat: "multi" = exact PyTorch3D candidate set (default);
+            "nearest" = single nearest-center approximation.
 
     Returns:
         (B, N, C) per-point features.
@@ -80,17 +134,34 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
     assert h == w, "square images only (as in the reference)"
     if scale_factor != 1.0:
         camera = camera.scale_T(scale_factor)
-
-    pixel_id, z, valid = project_points_to_pixels(points, camera, h, radius)
-    z = jnp.where(valid, z, _INF)
-
-    # z-buffer: min depth per pixel (+1 slot absorbing invalid points)
-    zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
-    zbuf = zbuf.at[jnp.arange(b)[:, None], pixel_id].min(z)
-    winner_z = jnp.take_along_axis(zbuf, pixel_id, axis=1)
-    won = valid & (z <= winner_z)
-
     flat = feature_map.reshape(b, h * w, c)
-    safe_id = jnp.minimum(pixel_id, h * w - 1)
+
+    if splat == "nearest":
+        pixel_id, z, valid = project_points_to_pixels(points, camera, h,
+                                                      radius)
+        z = jnp.where(valid, z, _INF)
+        zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
+        zbuf = zbuf.at[jnp.arange(b)[:, None], pixel_id].min(z)
+        winner_z = jnp.take_along_axis(zbuf, pixel_id, axis=1)
+        won = valid & (z <= winner_z)
+        safe_id = jnp.minimum(pixel_id, h * w - 1)
+        feats = jnp.take_along_axis(flat, safe_id[..., None], axis=1)
+        return jnp.where(won[..., None], feats, 0.0)
+
+    assert splat == "multi", splat
+    pid, z, valid = project_points_to_pixels_multi(points, camera, h, radius)
+    kk = pid.shape[-1]
+    zc = jnp.where(valid, z[..., None], _INF)                # (B, N, KK)
+    zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
+    zbuf = zbuf.at[jnp.arange(b)[:, None, None], pid].min(zc)
+    winner_z = jnp.take_along_axis(
+        zbuf, pid.reshape(b, n * kk), axis=1).reshape(b, n, kk)
+    won = valid & (zc <= winner_z)                           # (B, N, KK)
+    # a point that won several pixels gets one of them (the reference's
+    # duplicate-index scatter keeps an arbitrary write); take the first
+    first = jnp.argmax(won, axis=-1)                         # (B, N)
+    any_won = jnp.any(won, axis=-1)
+    chosen = jnp.take_along_axis(pid, first[..., None], axis=-1)[..., 0]
+    safe_id = jnp.minimum(chosen, h * w - 1)
     feats = jnp.take_along_axis(flat, safe_id[..., None], axis=1)
-    return jnp.where(won[..., None], feats, 0.0)
+    return jnp.where(any_won[..., None], feats, 0.0)

@@ -87,6 +87,10 @@ class ModelConfig:
     beta_schedule: str = "linear"
     point_cloud_model: str = "pvcnn"
     point_cloud_model_embed_dim: int = 64
+    # rasterization (`projection_model.py:39-41`); raster_splat is a
+    # bdm_tpu extension: "multi" (exact PyTorch3D candidates) | "nearest"
+    raster_point_radius: float = 0.0075
+    raster_splat: str = "multi"
 
 
 @dataclass

@@ -81,9 +81,13 @@ class ShapeNetR2N2Dataset:
             pc_subdir = json.load(f)
 
         object_ids = list(split_dict[split][cate_id].keys())
+        # subset_ratio is the END ratio, start_ratio the start — the
+        # reference slices [: int(len*subset)] when start==0
+        # (`shapenet_r2n2.py:242-243,402`) and
+        # [int(len*start) : int(len*subset)] otherwise (`:248`)
         lo = int(len(object_ids) * start_ratio)
         hi = int(len(object_ids) * subset_ratio)
-        object_ids = object_ids[:hi] if lo == 0 else object_ids[lo:lo + hi]
+        object_ids = object_ids[:hi] if lo == 0 else object_ids[lo:hi]
 
         records = []  # (img_path, pc_path, Rs, Ts)
         for object_id in object_ids:

@@ -1,0 +1,71 @@
+"""Matmul-scatter: voxel scatter-sum as one-hot contractions on the MXU.
+
+XLA lowers scatter/segment-sum on TPU as a serial per-row loop (~80 ns per
+update row — measured ~2.7 ms for a (B*R^3, 32) segment sum at B=8,
+N=4096, ~27x off roofline). Reformulated as a matmul it runs on the wide
+units: for a tile of voxels V, build the one-hot mask
+`M[v, n] = (ids[n] == v)` in VMEM and contract `M @ feats` on the MXU.
+The mask is exactly representable in bf16 (zeros/ones), so the matmul is
+as accurate as a bf16-input / f32-accumulate matmul over the features —
+the same precision every f32 matmul gets on this MXU by default.
+
+Reference semantics: `avg_voxelize` forward sums (`vox.cu:48-83`); the
+mean division and the backward live in `bdm_tpu.ops.voxelize`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scatter_kernel(ids_ref, feats_ref, out_ref):
+    tile_v = out_ref.shape[1]
+    n = ids_ref.shape[2]
+    base = pl.program_id(1) * tile_v
+    ids = ids_ref[0, 0, :].reshape(1, n)
+    vox = base + jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)
+    mask = (ids == vox).astype(jnp.bfloat16)              # (TILE_V, N)
+    out_ref[0] = jnp.dot(mask, feats_ref[0],              # feats pre-bf16
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def scatter_sum_pallas(features: jnp.ndarray, ids: jnp.ndarray,
+                       num_segments: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """features (B, N, C) f32, ids (B, N) int32 in [0, num_segments) ->
+    per-segment sums (B, num_segments, C) f32.
+
+    Falls back to segment_sum shapes guard at the caller; requires
+    num_segments % tile == 0 with tile = min(512, num_segments).
+    """
+    b, n, c = features.shape
+    # total mask work is tile_v-invariant (N * num_segments compares), so
+    # shrink the voxel tile for wide channels to stay inside VMEM
+    tile_v = min(512 if c <= 128 else 128, num_segments)
+    assert num_segments % tile_v == 0, (num_segments, tile_v)
+
+    grid = (b, num_segments // tile_v)
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=grid,
+        in_specs=[
+            # ids as (B, 1, N): the block's trailing dims equal the array's
+            # (Mosaic requires trailing block dims divisible by (8, 128) or
+            # exactly the array dims)
+            pl.BlockSpec((1, 1, n), lambda bi, vi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, vi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_v, c), lambda bi, vi: (bi, vi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_segments, c), jnp.float32),
+        interpret=interpret,
+    )(ids.astype(jnp.int32).reshape(b, 1, n),
+      features.astype(jnp.bfloat16))

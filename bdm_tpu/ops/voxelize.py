@@ -70,21 +70,11 @@ class VoxelContext(NamedTuple):
     """Feature-independent voxelization state, computed once per
     (coords, resolution) and shared by every PVConv in a stage (the
     reference recomputes it inside each PVConv — `modules/pvconv.py:93`).
-
-    The scatter-mean is formulated WITHOUT any scatter: per batch the
-    voxel ids are sorted, so each voxel's point set is a contiguous run
-    [lo_v, hi_v) of the sorted order. The boundaries come from a binary
-    search of the sorted ids (computed once here), and the per-voxel sum
-    is a difference of feature prefix-sums — all gathers and cumsums,
-    which TPU executes at memory bandwidth (the XLA segment-sum lowering
-    measured ~27x off roofline at these sizes).
     """
 
     norm_coords: jnp.ndarray       # (B, N, 3) float in [0, R-1]
-    sort_order: jnp.ndarray        # (B, N) int32 argsort of voxel ids
-    lo: jnp.ndarray                # (B, R^3) int32 first sorted position of v
-    hi: jnp.ndarray                # (B, R^3) int32 one-past-last position
-    inv_counts: jnp.ndarray        # (B, R^3) f32 1/max(hi-lo, 1)
+    ids: jnp.ndarray               # (B, N) int32 flat voxel id per point
+    inv_counts: jnp.ndarray        # (B, R^3) f32 1/max(count, 1)
 
 
 def make_voxel_context(coords: jnp.ndarray, resolution: int,
@@ -95,37 +85,63 @@ def make_voxel_context(coords: jnp.ndarray, resolution: int,
     norm_coords, vox_coords = normalize_coords(coords, resolution, normalize,
                                                eps)
     ids = _flat_voxel_ids(vox_coords, resolution)  # (B, N)
-    order = jnp.argsort(ids, axis=1)
-    ids = jnp.take_along_axis(ids, order, axis=1)  # sorted per batch
-    vox_range = jnp.arange(r3, dtype=ids.dtype)
-    lo = jax.vmap(lambda s: jnp.searchsorted(s, vox_range, side="left"))(ids)
-    hi = jax.vmap(lambda s: jnp.searchsorted(s, vox_range, side="right"))(ids)
-    counts = (hi - lo).astype(jnp.float32)
-    return VoxelContext(norm_coords, order.astype(jnp.int32),
-                        lo.astype(jnp.int32), hi.astype(jnp.int32),
+    counts = _count_per_voxel(ids, r3)
+    return VoxelContext(norm_coords, ids.astype(jnp.int32),
                         1.0 / jnp.maximum(counts, 1.0))
+
+
+def _count_per_voxel(ids: jnp.ndarray, r3: int) -> jnp.ndarray:
+    """(B, N) ids -> (B, R^3) f32 counts via the matmul-scatter kernel
+    (ones as features) or segment_sum off-TPU."""
+    b, n = ids.shape
+    if _use_pallas_scatter():
+        from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
+        return scatter_sum_pallas(
+            jnp.ones((b, n, 1), jnp.float32), ids, r3)[..., 0]
+    flat = (ids + jnp.arange(b, dtype=ids.dtype)[:, None] * r3).reshape(-1)
+    return jax.ops.segment_sum(
+        jnp.ones((b * n,), dtype=jnp.float32), flat,
+        num_segments=b * r3).reshape(b, r3)
+
+
+def _use_pallas_scatter() -> bool:
+    from bdm_tpu.ops.sampling import _PALLAS_OVERRIDE
+    if _PALLAS_OVERRIDE is not None:
+        return _PALLAS_OVERRIDE
+    return jax.default_backend() == "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def avg_voxelize_ctx(features: jnp.ndarray, ctx: VoxelContext,
                      resolution: int) -> jnp.ndarray:
-    """Scatter-mean with a precomputed VoxelContext (gather-only form)."""
+    """Scatter-mean with a precomputed VoxelContext.
+
+    On TPU the scatter-sum runs as a Pallas matmul-scatter (a one-hot
+    (R^3-tile, N) mask contracted with the (N, C) features on the MXU —
+    XLA's native scatter serializes at ~80 ns/row, ~27x off roofline at
+    these sizes); elsewhere it is a sorted segment_sum. The gradient (a
+    gather of grad/count, `vox.cu:85-112`) is supplied via custom_vjp.
+    """
     return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution)
 
 
 def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
     b, n, c = features.shape
     r3 = resolution ** 3
-    f_sorted = jnp.take_along_axis(features, ctx.sort_order[..., None],
-                                   axis=1)
-    # exclusive prefix sum with a leading zero row: sum of run [lo, hi) is
-    # cs[hi] - cs[lo]
-    cs = jnp.cumsum(f_sorted, axis=1, dtype=jnp.float32)
-    cs = jnp.concatenate([jnp.zeros((b, 1, c), cs.dtype), cs], axis=1)
-    sums = (jnp.take_along_axis(cs, ctx.hi[..., None].astype(jnp.int32),
-                                axis=1)
-            - jnp.take_along_axis(cs, ctx.lo[..., None].astype(jnp.int32),
-                                  axis=1))                    # (B, R^3, C)
+    # matmul-scatter wins below ~128 channels (XLA's serial scatter is the
+    # bottleneck there); at C=390 the mask matmul's FLOPs exceed the
+    # scatter cost (profiled 5.8 ms vs 2.0 ms), so wide channels stay on
+    # segment_sum
+    if _use_pallas_scatter() and c <= 128:
+        from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
+        sums = scatter_sum_pallas(features, ctx.ids, r3)      # (B, R^3, C)
+    else:
+        flat_ids = (ctx.ids
+                    + jnp.arange(b, dtype=ctx.ids.dtype)[:, None] * r3
+                    ).reshape(-1)
+        sums = jax.ops.segment_sum(
+            features.reshape(b * n, c).astype(jnp.float32), flat_ids,
+            num_segments=b * r3).reshape(b, r3, c)
     out = sums * ctx.inv_counts[..., None]
     return out.reshape(b, resolution, resolution, resolution, c)
 
@@ -142,16 +158,8 @@ def _avg_voxelize_ctx_bwd(resolution, ctx, g):
     c = g.shape[-1]
     g_flat = (g.reshape(b, r3, c)
               * ctx.inv_counts[..., None])                    # (B, R^3, C)
-    # sorted position p (with ids sorted) belongs to the voxel v whose
-    # [lo, hi) contains p; invert via the point's own voxel id — recover it
-    # from the boundaries: scatter-free again, gather g at the id of each
-    # point. ids_sorted[p] can be reconstructed: searchsorted(lo, p, 'right')
-    # over the R^3 boundaries is log(R^3) gathers; instead keep it simple
-    # and gather by the per-point voxel id implied by norm_coords rounding.
-    vox = jnp.round(ctx.norm_coords).astype(jnp.int32)
-    r = resolution
-    ids = (vox[..., 0] * (r * r) + vox[..., 1] * r + vox[..., 2])  # (B, N)
-    grad_feats = jnp.take_along_axis(g_flat, ids[..., None], axis=1)
+    grad_feats = jnp.take_along_axis(g_flat, ctx.ids[..., None].astype(
+        jnp.int32), axis=1)
     ctx_zero = jax.tree_util.tree_map(
         lambda x: (np.zeros(x.shape, jax.dtypes.float0)
                    if jnp.issubdtype(x.dtype, jnp.integer)

@@ -49,6 +49,10 @@ class ProjectionConfig:
     scale_factor: float = 1.0
     raster_point_radius: float = 0.0075
     raster_points_per_pixel: int = 1
+    # "multi" = exact PyTorch3D candidate set (every center within radius);
+    # "nearest" = single nearest-center approximation (round-1 behavior,
+    # kept for A/B measurement — see ARCHITECTURE.md)
+    raster_splat: str = "multi"
 
     # diffusion (`PointCloudDiffusionModelConfig`, structured.py:102-111)
     beta_start: float = 1e-5
@@ -202,7 +206,8 @@ class PC2Model:
         proj = surface_projection(
             x_t[..., :3], camera, local_map,
             radius=self.cfg.raster_point_radius,
-            scale_factor=self.cfg.scale_factor)
+            scale_factor=self.cfg.scale_factor,
+            splat=self.cfg.raster_splat)
         parts = [x_t, proj]
         if gfeats is not None:
             n = x_t.shape[1]
@@ -243,17 +248,26 @@ class PC2Model:
                      scheduler_name: str = "ddpm") -> jnp.ndarray:
         """Scan the reverse process over a window of timesteps.
 
-        The timestep array is a TRACED input of one jitted scan, so every
-        window of the same length reuses one executable — the BDM milestone
-        schedules have only ~3 distinct window lengths, vs ~14 windows.
+        The timestep array is a TRACED input of one jitted scan, so the
+        executable is cached by window LENGTH. To collapse the ~3 distinct
+        BDM window lengths onto ONE executable, the window is chunked into
+        gcd(len, 16)-step scans (16 = the canonical roll_step; all
+        canonical milestone windows are multiples of 8) — compile time is
+        paid once, the extra host dispatches pipeline asynchronously.
         """
-        if len(timesteps) == 0:
+        n_steps = len(timesteps)
+        if n_steps == 0:
             return x_t
-        ts = jnp.asarray(timesteps, dtype=jnp.int32)
-        keys = jax.random.split(key, len(timesteps))
-        return _jitted_window_scan(self, scheduler_name, float(eta),
-                                   scheduler.step_ratio, params, x_t, camera,
-                                   cond_map, ts, keys)
+        import math as _math
+        chunk = _math.gcd(n_steps, 16)
+        keys = jax.random.split(key, n_steps)
+        for i in range(0, n_steps, chunk):
+            ts = jnp.asarray(timesteps[i:i + chunk], dtype=jnp.int32)
+            x_t = _jitted_window_scan(self, scheduler_name, float(eta),
+                                      scheduler.step_ratio, params, x_t,
+                                      camera, cond_map, ts,
+                                      keys[i:i + chunk])
+        return x_t
 
     def sample(self, params, batch: Dict[str, Any], key: jax.Array,
                num_points: int, scheduler: str = "ddpm",
@@ -309,10 +323,18 @@ class PC2Model:
                            scheduler: str = "ddpm",
                            num_inference_steps: int = 1000,
                            eta: float = 0.0,
-                           cond_map: Optional[jnp.ndarray] = None
+                           cond_map: Optional[jnp.ndarray] = None,
+                           return_sample_every_n_steps: int = -1
                            ) -> jnp.ndarray:
         """Partial reverse window over timesteps[S-start : S-end], given an
-        x_t (`model.py:216-291`). start/end are static ints."""
+        x_t (`model.py:216-291`). start/end are static ints.
+
+        `return_sample_every_n_steps` is accepted for API parity: the
+        reference declares it (`model.py:230`) and the blending CLI passes
+        it (`main_blending.py:244`), but the reference's loop never
+        collects snapshots — the final cloud alone is returned. Replicated
+        exactly (a silent no-op)."""
+        del return_sample_every_n_steps  # accepted-but-unused, like model.py
         sched = self.schedulers[scheduler]
         timesteps = sched.set_timesteps(num_inference_steps)
         window = list(timesteps[num_inference_steps - start_time:

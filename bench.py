@@ -32,6 +32,11 @@ def log(msg):
 
 def run_once(batch_size, points, repeats, quick):
     import jax
+    # persistent compile cache: the ~4 big window-scan executables cost
+    # ~40 s each to compile cold; cached reruns skip that entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel, \
         bdm_blending
     from __graft_entry__ import _synthetic_batch

@@ -47,10 +47,17 @@ def test_surface_projection_zbuffer_and_occlusion():
     far = [0.0, 0.0, 0.5]     # z_view = 2.5
     pts = jnp.array([[near, far]])
     fmap = jnp.arange(s * s, dtype=jnp.float32).reshape(1, s, s, 1)
-    out = np.asarray(surface_projection(pts, cam, fmap, radius=0.4))
+    out = np.asarray(surface_projection(pts, cam, fmap, radius=0.4,
+                                        splat="nearest"))
     # ndc (0,0) -> pixel float (8*1-1)/2 = 3.5 -> rounds to 4 -> id 4*8+4=36
     assert out[0, 0, 0] == 36.0  # winner gets the pixel feature
     assert out[0, 1, 0] == 0.0   # occluded point gets zeros
+    # multi mode: the winner claims SOME center within radius; the
+    # occluded point still gets zeros (it loses every shared candidate)
+    out_m = np.asarray(surface_projection(pts, cam, fmap, radius=0.4,
+                                          splat="multi"))
+    assert out_m[0, 0, 0] > 0.0
+    assert out_m[0, 1, 0] == 0.0
 
 
 def test_surface_projection_out_of_frustum_is_zero():
@@ -133,3 +140,73 @@ def test_camera_from_r2n2_exact_when_mean_zero():
     np.testing.assert_allclose(np.asarray(xn), np.asarray(xr), atol=1e-5)
     np.testing.assert_allclose(np.asarray(yn), np.asarray(yr), atol=1e-5)
     np.testing.assert_allclose(np.asarray(zn), np.asarray(zr), atol=1e-5)
+
+
+def _rasterize_oracle(points, cam, s, radius):
+    """Brute-force PyTorch3D PointsRasterizer semantics
+    (points_per_pixel=1): for EACH pixel center, the nearest-in-z point
+    within `radius` of it claims the pixel. Returns {point: set(pixel_id)}.
+    """
+    x, y, z = (np.asarray(a) for a in cam.transform_points_ndc(
+        jnp.asarray(points)))
+    b, n = z.shape
+    pitch = 2.0 / s
+    centers = 1.0 - (2 * np.arange(s) + 1) / s  # NDC center of col/row i
+    wins = [dict() for _ in range(b)]
+    for bi in range(b):
+        for yi in range(s):
+            for xi in range(s):
+                d2 = (x[bi] - centers[xi]) ** 2 + (y[bi] - centers[yi]) ** 2
+                ok = (d2 < radius ** 2) & (z[bi] > 0)
+                if not ok.any():
+                    continue
+                zs = np.where(ok, z[bi], np.inf)
+                p = int(np.argmin(zs))
+                wins[bi].setdefault(p, set()).add(yi * s + xi)
+    return wins
+
+
+def test_surface_projection_multi_matches_bruteforce_rasterizer():
+    """The 'multi' splat must reproduce the exact rasterizer: every point
+    that wins >= 1 pixel receives one of ITS won pixels' features; all
+    others get zeros. Uses radius < pitch (the production regime) and a
+    radius > pitch (wide window) case."""
+    rng = np.random.default_rng(0)
+    s = 16
+    for radius in (0.05, 0.2):  # pitch = 0.125
+        pts = jnp.asarray(
+            (rng.standard_normal((2, 40, 3)) * 0.4).astype(np.float32))
+        cam = identity_camera(b=2)
+        # feature = its own flat pixel id, so winners are identifiable
+        fmap = jnp.arange(s * s, dtype=jnp.float32).reshape(
+            1, s, s, 1).repeat(2, axis=0)
+        out = np.asarray(surface_projection(pts, cam, fmap, radius=radius,
+                                            splat="multi"))[..., 0]
+        wins = _rasterize_oracle(pts, cam, s, radius)
+        for bi in range(2):
+            for p in range(40):
+                if p in wins[bi]:
+                    assert int(out[bi, p]) in wins[bi][p], (
+                        bi, p, out[bi, p], wins[bi][p])
+                else:
+                    assert out[bi, p] == 0.0, (bi, p, out[bi, p])
+
+
+def test_surface_projection_multi_vs_nearest_differ():
+    """The two splat modes genuinely differ (multi lets a point claim a
+    non-nearest center AND lets off-center points occlude pixels they
+    aren't nearest to — both directions change assignments); the A/B delta
+    at production-like density is recorded in ARCHITECTURE.md."""
+    rng = np.random.default_rng(1)
+    s = 32
+    pts = jnp.asarray(
+        (rng.standard_normal((4, 512, 3)) * 0.3).astype(np.float32))
+    cam = identity_camera(b=4)
+    fmap = jnp.ones((4, s, s, 1), jnp.float32)
+    radius = 0.05  # pitch = 0.0625, radius < pitch: production regime
+    near = np.asarray(surface_projection(pts, cam, fmap, radius=radius,
+                                         splat="nearest"))[..., 0]
+    multi = np.asarray(surface_projection(pts, cam, fmap, radius=radius,
+                                          splat="multi"))[..., 0]
+    assert (multi > 0).any() and (near > 0).any()
+    assert ((multi > 0) != (near > 0)).any()

@@ -147,3 +147,20 @@ def test_loader_infinite_and_prefetch():
     it = dl.infinite()
     seen = [next(it) for _ in range(5)]  # crosses epoch boundary
     assert all(s["points"].shape == (2, 8, 3) for s in seen)
+
+
+def test_r2n2_start_subset_are_ratios_of_the_same_list(fake_r2n2):
+    """subset_ratio is the END ratio, start_ratio the START — the slice is
+    [int(len*start) : int(len*subset)] (reference
+    `shapenet_r2n2.py:242-248`), NOT a start+length window."""
+    root, r2n2 = fake_r2n2
+    full = ShapeNetR2N2Dataset(root_dir=root, r2n2_dir=r2n2, split="train",
+                               max_points=64, image_size=32)
+    mid = ShapeNetR2N2Dataset(root_dir=root, r2n2_dir=r2n2, split="train",
+                              max_points=64, image_size=32,
+                              start_ratio=1 / 3, subset_ratio=2 / 3)
+    assert len(full) == 3 and len(mid) == 1
+    tail = ShapeNetR2N2Dataset(root_dir=root, r2n2_dir=r2n2, split="train",
+                               max_points=64, image_size=32,
+                               start_ratio=1 / 3, subset_ratio=1.0)
+    assert len(tail) == 2

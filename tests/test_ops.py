@@ -280,3 +280,17 @@ def test_avg_voxelize_ctx_grad_matches_standalone(rng):
         lambda f: (ops.avg_voxelize(f, jnp.asarray(vox), r) * w).sum())(feats)
     np.testing.assert_allclose(np.asarray(g_ctx), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_scatter_sum_pallas_interpret_matches_segment_sum(rng):
+    """The MXU matmul-scatter (interpret mode) equals segment_sum."""
+    from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
+    b, n, c, segs = 2, 40, 5, 16
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, segs, (b, n)).astype(np.int32))
+    got = scatter_sum_pallas(feats, ids, segs, interpret=True)
+    flat = (ids + jnp.arange(b)[:, None] * segs).reshape(-1)
+    want = jax.ops.segment_sum(feats.reshape(b * n, c), flat,
+                               num_segments=b * segs).reshape(b, segs, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

@@ -1,6 +1,11 @@
 """Chained-in-one-jit timings for the voxel branch candidates (the axon
 tunnel makes per-call wall timing meaningless; see microbench2.py).
 
+Coupling note: the carry MUST depend on the op through a non-foldable
+expression: `c + 0.0 * g.mean()` is simplified away under the terminal's
+--xla_allow_excess_precision (the loop body becomes identity and every
+op "measures" ~6 us); `(g.mean() > 1e30).astype(...)` survives.
+
     python tools/microbench3.py [--repeat 10]
 """
 
@@ -52,21 +57,21 @@ def main():
 
         def mk_step(co):
             ctx = ops.make_voxel_context(co, r)
-            return co + 0.0 * ctx.norm_coords.mean()
+            return co + (ctx.norm_coords.mean() > 1e30).astype(co.dtype)
 
         timed(f"make_ctx R={r}", mk_step, coords)
         ctx = ops.make_voxel_context(coords, r)
 
         def vox_step(f, ctx):
             g = ops.avg_voxelize_ctx(f, ctx, r)
-            return f + 0.0 * g.mean()
+            return f + (g.mean() > 1e30).astype(f.dtype)
 
         timed(f"vox_ctx R={r} C={c}", vox_step, feats, ctx)
 
         def old_step(f, co):
             _, vc = ops.normalize_coords(co, r)
             g = ops.avg_voxelize(f, vc, r)
-            return f + 0.0 * g.mean()
+            return f + (g.mean() > 1e30).astype(f.dtype)
 
         timed(f"vox_segsum R={r} C={c}", old_step, feats, coords)
 
@@ -74,7 +79,7 @@ def main():
 
         def dev_step(g, nc):
             p = ops.trilinear_devoxelize(g, nc)
-            return g + 0.0 * p.mean()
+            return g + (p.mean() > 1e30).astype(g.dtype)
 
         timed(f"devox R={r} C={c}", dev_step, grid, ctx.norm_coords)
 
@@ -92,13 +97,13 @@ def main():
         def conv_f32(xc, w):
             y = jax.lax.conv_general_dilated(
                 xc, w, (1, 1, 1), "SAME", dimension_numbers=dn)
-            return xc + 0.0 * y.mean()
+            return xc + (y.mean() > 1e30).astype(xc.dtype)
 
         def conv_bf16(xc, w):
             y = jax.lax.conv_general_dilated(
                 xc.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 (1, 1, 1), "SAME", dimension_numbers=dn)
-            return xc + 0.0 * y.astype(jnp.float32).mean()
+            return xc + (y.astype(jnp.float32).mean() > 1e30).astype(xc.dtype)
 
         timed(f"conv3d f32 R={r} {cin}->{cout}", conv_f32, x, w)
         timed(f"conv3d bf16 R={r} {cin}->{cout}", conv_bf16, x, w)
@@ -111,7 +116,7 @@ def main():
 
     def fwd_step(x, t):
         out = model.apply(params, x, t)
-        return x + 0.0 * out
+        return x + (out.mean() > 1e30).astype(x.dtype)
 
     timed("PVCNN2 forward (full PC2)", fwd_step, x, t)
 
