@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from bdm_tpu import ops
@@ -176,6 +177,10 @@ class PVConv(nn.Module):
         norm_coords = vox_ctx.norm_coords
         g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
 
+        # fusion break: without it XLA fuses the conv into the scatter
+        # consumer with a layout that runs the R=32 conv+GN ~3.5x slower
+        # (profiled 6.1 ms vs 1.8 ms isolated)
+        g = jax.lax.optimization_barrier(g)
         g = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                     dtype=self.dtype, name="vconv0")(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,

@@ -121,3 +121,60 @@ def test_vis_utils(tmp_path, rng):
     p3 = str(tmp_path / "meta.json")
     dump_metadata(p3, seed=42, scheduler="ddpm")
     assert "ddpm" in open(p3).read()
+
+
+def test_wandb_logger_with_stub(monkeypatch):
+    """WandbLogger drives a real wandb-shaped module (stubbed): init with
+    project/name/config, scalar log with step, finish (reference
+    `main.py:47-66,239-252`)."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": [], "finish": 0}
+
+    class _Run:
+        def log(self, metrics, step=None):
+            calls["log"].append((dict(metrics), step))
+
+        def finish(self):
+            calls["finish"] += 1
+
+    stub = types.ModuleType("wandb")
+    def _init(project=None, name=None, config=None):
+        calls["init"].append((project, name, config))
+        return _Run()
+    stub.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from bdm_tpu.utils.vis import WandbLogger
+    lg = WandbLogger(True, "proj", "run1", config={"a": 1})
+    lg.log({"loss": 0.5}, step=3)
+    lg.finish()
+    assert calls["init"] == [("proj", "run1", {"a": 1})]
+    assert calls["log"] == [({"loss": 0.5}, 3)]
+    assert calls["finish"] == 1
+
+    # disabled -> everything is a no-op even with wandb importable
+    lg2 = WandbLogger(False, "proj", "run2")
+    lg2.log({"x": 1.0})
+    lg2.finish()
+    assert len(calls["log"]) == 1
+
+
+def test_wandb_logger_unavailable_is_noop(monkeypatch):
+    import builtins
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **k):
+        if name == "wandb":
+            raise ImportError("no wandb in this env")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_wandb)
+    import sys
+    monkeypatch.delitem(sys.modules, "wandb", raising=False)
+    from bdm_tpu.utils.vis import WandbLogger
+    lg = WandbLogger(True, "proj", "run")
+    assert lg.run is None
+    lg.log({"x": 1.0})  # must not raise
+    lg.finish()

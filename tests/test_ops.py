@@ -294,3 +294,22 @@ def test_scatter_sum_pallas_interpret_matches_segment_sum(rng):
                                num_segments=b * segs).reshape(b, segs, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_trilinear_devoxelize_window_form_matches(rng):
+    """The TPU window-gather form equals the 8-corner gather everywhere,
+    including exact-integer coords at the R-1 edge (corner rule)."""
+    from bdm_tpu.ops.voxelize import _trilinear_devoxelize_window
+    b, r, c, n = 2, 4, 6, 50
+    grid = jnp.asarray(rng.standard_normal((b, r, r, r, c)).astype(
+        np.float32))
+    coords = jnp.asarray(
+        rng.uniform(0, r - 1, (b, n, 3)).astype(np.float32))
+    # force exact-integer and edge coords into the mix
+    coords = coords.at[:, :8].set(
+        jnp.asarray(rng.integers(0, r, (b, 8, 3)).astype(np.float32)
+                    .clip(0, r - 1)))
+    want = ops.trilinear_devoxelize(grid, coords)  # CPU: 8-corner path
+    got = _trilinear_devoxelize_window(grid, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
