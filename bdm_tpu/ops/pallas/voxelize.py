@@ -30,7 +30,7 @@ def _scatter_kernel(ids_ref, feats_ref, out_ref):
     ids = ids_ref[0, 0, :].reshape(1, n)
     vox = base + jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)
     mask = (ids == vox).astype(jnp.bfloat16)              # (TILE_V, N)
-    out_ref[0] = jnp.dot(mask, feats_ref[0],              # feats pre-bf16
+    out_ref[0] = jnp.dot(mask, feats_ref[0].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
 
 
@@ -67,5 +67,4 @@ def scatter_sum_pallas(features: jnp.ndarray, ids: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, num_segments, c), jnp.float32),
         interpret=interpret,
-    )(ids.astype(jnp.int32).reshape(b, 1, n),
-      features.astype(jnp.bfloat16))
+    )(ids.astype(jnp.int32).reshape(b, 1, n), features)

@@ -136,12 +136,17 @@ def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
         from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
         sums = scatter_sum_pallas(features, ctx.ids, r3)      # (B, R^3, C)
     else:
-        flat_ids = (ctx.ids
-                    + jnp.arange(b, dtype=ctx.ids.dtype)[:, None] * r3
+        # wide channels: sorted segment_sum (XLA's segmented-reduce
+        # lowering is ~1.8x faster than the unsorted scatter here)
+        order = jnp.argsort(ctx.ids, axis=1)
+        ids = jnp.take_along_axis(ctx.ids, order, axis=1)
+        f_sorted = jnp.take_along_axis(features, order[..., None], axis=1)
+        flat_ids = (ids
+                    + jnp.arange(b, dtype=ids.dtype)[:, None] * r3
                     ).reshape(-1)
         sums = jax.ops.segment_sum(
-            features.reshape(b * n, c).astype(jnp.float32), flat_ids,
-            num_segments=b * r3).reshape(b, r3, c)
+            f_sorted.reshape(b * n, c).astype(jnp.float32), flat_ids,
+            num_segments=b * r3, indices_are_sorted=True).reshape(b, r3, c)
     out = sums * ctx.inv_counts[..., None]
     return out.reshape(b, resolution, resolution, resolution, c)
 
