@@ -70,38 +70,23 @@ class VoxelContext(NamedTuple):
     """Feature-independent voxelization state, computed once per
     (coords, resolution) and shared by every PVConv in a stage (the
     reference recomputes it inside each PVConv — `modules/pvconv.py:93`).
+
+    Per-voxel counts are NOT precomputed: each scatter appends a ones
+    column and divides by its own count channel — a +1-channel scatter is
+    ~free while a standalone counts kernel cost ~1.4 ms per stage.
     """
 
     norm_coords: jnp.ndarray       # (B, N, 3) float in [0, R-1]
     ids: jnp.ndarray               # (B, N) int32 flat voxel id per point
-    inv_counts: jnp.ndarray        # (B, R^3) f32 1/max(count, 1)
 
 
 def make_voxel_context(coords: jnp.ndarray, resolution: int,
                        normalize: bool = True,
                        eps: float = 0.0) -> VoxelContext:
-    b, n, _ = coords.shape
-    r3 = resolution ** 3
     norm_coords, vox_coords = normalize_coords(coords, resolution, normalize,
                                                eps)
     ids = _flat_voxel_ids(vox_coords, resolution)  # (B, N)
-    counts = _count_per_voxel(ids, r3)
-    return VoxelContext(norm_coords, ids.astype(jnp.int32),
-                        1.0 / jnp.maximum(counts, 1.0))
-
-
-def _count_per_voxel(ids: jnp.ndarray, r3: int) -> jnp.ndarray:
-    """(B, N) ids -> (B, R^3) f32 counts via the matmul-scatter kernel
-    (ones as features) or segment_sum off-TPU."""
-    b, n = ids.shape
-    if _use_pallas_scatter():
-        from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
-        return scatter_sum_pallas(
-            jnp.ones((b, n, 1), jnp.float32), ids, r3)[..., 0]
-    flat = (ids + jnp.arange(b, dtype=ids.dtype)[:, None] * r3).reshape(-1)
-    return jax.ops.segment_sum(
-        jnp.ones((b * n,), dtype=jnp.float32), flat,
-        num_segments=b * r3).reshape(b, r3)
+    return VoxelContext(norm_coords, ids.astype(jnp.int32))
 
 
 def _use_pallas_scatter() -> bool:
@@ -125,44 +110,58 @@ def avg_voxelize_ctx(features: jnp.ndarray, ctx: VoxelContext,
     return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution)
 
 
-def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
+def _scatter_sums_with_counts(features, ids, r3):
+    """One scatter of [features | 1] -> (sums (B, R^3, C), counts)."""
     b, n, c = features.shape
-    r3 = resolution ** 3
+    faug = jnp.concatenate(
+        [features, jnp.ones((b, n, 1), features.dtype)], axis=-1)
     # matmul-scatter wins below ~128 channels (XLA's serial scatter is the
     # bottleneck there); at C=390 the mask matmul's FLOPs exceed the
     # scatter cost (profiled 5.8 ms vs 2.0 ms), so wide channels stay on
-    # segment_sum
-    if _use_pallas_scatter() and c <= 128:
+    # sorted segment_sum (~1.8x faster than the unsorted scatter)
+    if _use_pallas_scatter() and c < 128:
         from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
-        sums = scatter_sum_pallas(features, ctx.ids, r3)      # (B, R^3, C)
+        out = scatter_sum_pallas(faug, ids, r3)               # (B, R^3, C+1)
     else:
-        # wide channels: sorted segment_sum (XLA's segmented-reduce
-        # lowering is ~1.8x faster than the unsorted scatter here)
-        order = jnp.argsort(ctx.ids, axis=1)
-        ids = jnp.take_along_axis(ctx.ids, order, axis=1)
-        f_sorted = jnp.take_along_axis(features, order[..., None], axis=1)
-        flat_ids = (ids
-                    + jnp.arange(b, dtype=ids.dtype)[:, None] * r3
+        order = jnp.argsort(ids, axis=1)
+        ids_s = jnp.take_along_axis(ids, order, axis=1)
+        f_sorted = jnp.take_along_axis(faug, order[..., None], axis=1)
+        flat_ids = (ids_s
+                    + jnp.arange(b, dtype=ids_s.dtype)[:, None] * r3
                     ).reshape(-1)
-        sums = jax.ops.segment_sum(
-            f_sorted.reshape(b * n, c).astype(jnp.float32), flat_ids,
-            num_segments=b * r3, indices_are_sorted=True).reshape(b, r3, c)
-    out = sums * ctx.inv_counts[..., None]
+        out = jax.ops.segment_sum(
+            f_sorted.reshape(b * n, c + 1).astype(jnp.float32), flat_ids,
+            num_segments=b * r3,
+            indices_are_sorted=True).reshape(b, r3, c + 1)
+    return out[..., :c], out[..., c]
+
+
+def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
+    b, n, c = features.shape
+    r3 = resolution ** 3
+    sums, counts = _scatter_sums_with_counts(features, ctx.ids, r3)
+    out = sums / jnp.maximum(counts, 1.0)[..., None]
     return out.reshape(b, resolution, resolution, resolution, c)
 
 
 def _avg_voxelize_ctx_fwd(features, ctx, resolution):
-    return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution), ctx
+    b, n, c = features.shape
+    r3 = resolution ** 3
+    sums, counts = _scatter_sums_with_counts(features, ctx.ids, r3)
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    out = (sums * inv[..., None]).reshape(
+        b, resolution, resolution, resolution, c)
+    return out, (ctx, inv)
 
 
-def _avg_voxelize_ctx_bwd(resolution, ctx, g):
+def _avg_voxelize_ctx_bwd(resolution, res, g):
     """d mean/d feature = grad[voxel(p)] / count[voxel(p)] — one gather
     (matches `avg_voxelize_grad_kernel`, `vox.cu:85-112`)."""
+    ctx, inv = res
     b = g.shape[0]
     r3 = resolution ** 3
     c = g.shape[-1]
-    g_flat = (g.reshape(b, r3, c)
-              * ctx.inv_counts[..., None])                    # (B, R^3, C)
+    g_flat = g.reshape(b, r3, c) * inv[..., None]             # (B, R^3, C)
     grad_feats = jnp.take_along_axis(g_flat, ctx.ids[..., None].astype(
         jnp.int32), axis=1)
     ctx_zero = jax.tree_util.tree_map(
