@@ -57,3 +57,44 @@ def fscore(pred: jnp.ndarray, gt: jnp.ndarray, threshold: float = 0.01,
     recall = (d_gp < threshold).mean(axis=1)
     f1 = 2.0 * precision * recall / jnp.maximum(precision + recall, 1e-8)
     return f1, precision, recall
+
+
+# ------------------------------------------------------------- point-sharded
+
+def chamfer_distance_sharded(pred: jnp.ndarray, gt: jnp.ndarray, mesh,
+                             axis: str = "dp",
+                             recenter: bool = True) -> jnp.ndarray:
+    """Chamfer distance with the PRED point axis sharded over a mesh.
+
+    The large-N scaling path (SURVEY.md §2.7 "sequence parallel" analogue):
+    each device holds an N/n_dev shard of pred and the full gt; the
+    pred->gt direction is embarrassingly parallel, the gt->pred direction
+    is a `pmin` over per-shard minima. Exact — equals `chamfer_distance`.
+
+    pred: (B, N, 3) with N % mesh.size == 0; gt: (B, M, 3).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if recenter:
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        gt = gt - gt.mean(axis=1, keepdims=True)
+
+    @jax.jit
+    def run(pred, gt):
+        def shard_fn(p_shard, gt_full):
+            d_pg, d_gp = pairwise_min_sqdist(p_shard, gt_full)
+            # pred->gt: every shard owns its rows -> mean of psum'd sums
+            pg_sum = jax.lax.psum(d_pg.sum(axis=1), axis)
+            # gt->pred: min over shards of the per-shard minima
+            gp_min = jax.lax.pmin(d_gp, axis)
+            return pg_sum, gp_min
+
+        pg_sum, gp_min = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, None, None)),
+            out_specs=(P(), P(None, None)))(pred, gt)
+        n = pred.shape[1]
+        return pg_sum / n + gp_min.mean(axis=1)
+
+    return run(pred, gt)

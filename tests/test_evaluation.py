@@ -44,3 +44,19 @@ def test_fscore_threshold_semantics(rng):
     f_in, _, _ = fscore(jnp.asarray(a), jnp.asarray(b_in), recenter=False)
     f_out, _, _ = fscore(jnp.asarray(a), jnp.asarray(b_out), recenter=False)
     assert float(f_in[0]) == 1.0 and float(f_out[0]) == 0.0
+
+
+def test_chamfer_sharded_matches_dense():
+    """Point-sharded chamfer over an 8-device mesh equals the dense one."""
+    import jax
+    from bdm_tpu.evaluation.metrics import (chamfer_distance,
+                                            chamfer_distance_sharded)
+    from bdm_tpu.parallel import get_mesh
+    mesh = get_mesh(min(8, len(jax.devices())))
+    rng = np.random.default_rng(0)
+    n = 16 * mesh.devices.size
+    pred = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((2, 40, 3)).astype(np.float32))
+    want = np.asarray(chamfer_distance(pred, gt))
+    got = np.asarray(chamfer_distance_sharded(pred, gt, mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
