@@ -269,10 +269,17 @@ class PointNetSAModule(nn.Module):
         centers = ops.gather(coords, idx)                      # (B, M, 3)
         nbr = ops.ball_query(centers, coords, self.radius,
                              self.num_neighbors)               # (B, M, U)
-        nbr_coords = ops.grouping(coords, nbr) - centers[:, :, None, :]
-        nbr_feats = ops.grouping(features, nbr)
         if self.include_coordinates:
-            nbr_feats = jnp.concatenate([nbr_coords, nbr_feats], axis=-1)
+            # ONE gather of [coords | features]: a separate 3-channel
+            # coords gather wastes 97% of every lane row (profiled 1.5 ms
+            # at stage 0 vs ~0 marginal cost on the feature gather)
+            both = ops.grouping(
+                jnp.concatenate([coords, features], axis=-1), nbr)
+            nbr_feats = jnp.concatenate(
+                [both[..., :3] - centers[:, :, None, :], both[..., 3:]],
+                axis=-1)
+        else:
+            nbr_feats = ops.grouping(features, nbr)
         f = SharedMLP(tuple(self.mlp), dtype=self.dtype,
                       name="mlp")(nbr_feats)              # (B, M, U, C)
         f = f.max(axis=2).astype(jnp.float32)
