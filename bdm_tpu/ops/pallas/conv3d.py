@@ -8,10 +8,11 @@ plus ~0.8 ms layout copies). This kernel fixes the layout: the grid stays
 where col(.) lays the 9 (dy, dx)-shifted copies of the (H*W, C) slice
 side by side, so the whole tap reduction is ONE MXU contraction of
 (H*W, 9C) x (9C, Cout) per dz. Shifts are static slice+concat rolls with
-y/x border masks; the D border is handled by clamping the slice index
-maps and zeroing the out-of-range dz contribution in-kernel (an HBM-side
-pad + bf16 cast cost 1.7 ms per conv — everything stays f32 in HBM and
-casts per-block in VMEM).
+y/x border masks; the D border comes from an f32 zero-pad of the input
+(three pipelined slice specs). Measured variants: pad+bf16-cast in HBM
+cost 1.7 ms/conv; clamped (non-affine) index maps broke Mosaic's
+pipelining (1.30 vs 0.86 ms); a VMEM-resident whole-grid variant OOMed
+the Mosaic stack. f32-pad + in-kernel cast wins.
 
 Reference semantics: `modules/pvconv.py:69-83` voxel_layers Conv3d
 (stride 1, SAME). bf16 inputs / f32 accumulation — the same precision XLA
@@ -28,12 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
-                 h, w, r):
+def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *, h, w):
     hw = h * w
     cin = mid_ref.shape[-1]
     cout = out_ref.shape[-1]
-    d = pl.program_id(1)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
     ys = rows // w
@@ -41,11 +40,10 @@ def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
 
     acc = jnp.zeros((hw, cout), jnp.float32)
     for dz, src in enumerate((lo_ref, mid_ref, hi_ref)):
-        # the lo/hi slices are clamped at the D borders; zero them there
-        d_src = d + dz - 1
-        valid_z = (d_src >= 0) & (d_src <= r - 1)
-        slab = jnp.where(valid_z, src[0, 0].astype(jnp.bfloat16),
-                         jnp.bfloat16(0))                  # (HW, Cin)
+        # D-borders come from the zero-padded input (pad in f32 is cheap;
+        # a pad+bf16 cast fusion cost 1.7 ms, and clamped index maps broke
+        # Mosaic's pipelining: 1.30 ms vs 0.86 ms per conv at R=32 C=32)
+        slab = src[0, 0].astype(jnp.bfloat16)              # (HW, Cin)
         cols = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -77,19 +75,18 @@ def conv3d_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     cout = weights.shape[-1]
     hw = r * r
 
-    gp = grid.reshape(b, r, hw, cin)
+    gp = jnp.pad(grid.reshape(b, r, hw, cin),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
     wm = weights.astype(jnp.bfloat16).reshape(27 * cin, cout)
     bm = bias.astype(jnp.float32).reshape(1, cout)
 
     def slice_spec(off):
-        def index_map(bi, d):
-            # clamp at the D borders; the kernel zeroes these contributions
-            return (bi, jnp.clip(d + off - 1, 0, r - 1), 0, 0)
-        return pl.BlockSpec((1, 1, hw, cin), index_map,
+        return pl.BlockSpec((1, 1, hw, cin),
+                            lambda bi, d, _o=off: (bi, d + _o, 0, 0),
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, h=r, w=r, r=r),
+        functools.partial(_conv_kernel, h=r, w=r),
         grid=(b, r),
         in_specs=[
             pl.BlockSpec((27 * cin, cout), lambda bi, d: (0, 0),

@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--iters", type=int, default=1,
                         help="divide totals by this many profiled steps")
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--agg", action="store_true",
+                        help="also aggregate by op family (fusion, "
+                             "custom-call target, copy, ...) — copy-start/"
+                             "slice-start spans overlap compute and are "
+                             "reported separately, not added to the total")
     args = parser.parse_args()
 
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -54,6 +59,28 @@ def main():
         print(f"== {plane.name} (top {args.top} by total time)")
         for name, ps in tot.most_common(args.top):
             print(f"{ps / args.iters / 1e6:10.1f} us/iter  {name[:95]}")
+        if args.agg:
+            fam = collections.Counter()
+            for name, ps in tot.items():
+                if name.startswith("jit_"):
+                    continue
+                if "copy-start" in name or "slice-start" in name \
+                        or "copy-done" in name or "slice-done" in name:
+                    key = "[async copy/slice spans (overlap!)]"
+                elif "custom-call" in name:
+                    # pull the pallas kernel name if present
+                    key = "custom:" + name.split(" = ")[0].lstrip("%")
+                    key = "custom:" + key.split(".")[0].split(":")[-1]
+                elif " = " in name:
+                    op = name.split(" = ")[1].split("(")[0].strip()
+                    op = op.split(" ")[-1]
+                    key = op.split(".")[0]
+                else:
+                    key = name.split(".")[0].split("(")[0]
+                fam[key] += ps
+            print(f"-- aggregated by family (us/iter)")
+            for name, ps in fam.most_common(30):
+                print(f"{ps / args.iters / 1e6:10.1f}  {name[:80]}")
 
 
 if __name__ == "__main__":
