@@ -93,11 +93,17 @@ class Attention(nn.Module):
 
 class SE(nn.Module):
     """Squeeze-excitation over a voxel grid (B, X, Y, Z, C)
-    (`modules/se.py:8-19`), reduction 8."""
+    (`modules/se.py:8-19`), reduction 8.
+
+    With `return_scale` the (B, C) sigmoid gate is returned instead of the
+    scaled grid: the per-channel scale commutes with the (linear) trilinear
+    devoxelization, so PVConv applies it to the (B, N, C) point features —
+    skipping a full read+write pass over the voxel grid."""
 
     reduction: int = 8
     use_relu: bool = False
     dtype: Any = None
+    return_scale: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,6 +114,8 @@ class SE(nn.Module):
         s = jax.nn.relu(s) if self.use_relu else swish(s)
         s = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(s)
         s = jax.nn.sigmoid(s)
+        if self.return_scale:
+            return s.astype(jnp.float32)
         return x * s[:, None, None, None, :]
 
 

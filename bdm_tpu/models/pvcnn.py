@@ -175,7 +175,9 @@ class VoxConv(nn.Module):
         if (_use_pallas_scatter() and cin <= 256 and r >= 2
                 and x.shape[1:4] == (r, r, r)):
             from bdm_tpu.ops.pallas.conv3d import conv3d
-            return conv3d(x.astype(jnp.float32), kernel, bias, r)
+            # dtype-preserving: PVConv feeds bf16 (cast fused upstream of
+            # the barrier); output bf16, consumer GN computes f32 stats
+            return conv3d(x, kernel, bias, r)
         dt = self.dtype or x.dtype
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
@@ -210,7 +212,17 @@ class PVConv(nn.Module):
             vox_ctx = ops.make_voxel_context(coords, self.resolution,
                                              self.normalize, self.eps)
         norm_coords = vox_ctx.norm_coords
+        from bdm_tpu.ops.voxelize import _use_pallas_scatter
+        on_tpu = _use_pallas_scatter()
+
+        def to_vox_dtype(x):
+            # bf16 grid intermediates on the TPU path: the cast sits
+            # BEFORE the optimization barrier so it fuses into the
+            # producing fusion (a standalone cast+pad pass cost 1.7 ms)
+            return x.astype(jnp.bfloat16) if on_tpu else x
+
         g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
+        g = to_vox_dtype(g)
 
         # fusion breaks: XLA otherwise builds a conv+GN-stats mega-fusion
         # whose layout runs the R=32 conv+GN ~3.5x slower than the split
@@ -224,6 +236,7 @@ class PVConv(nn.Module):
         g = swish(g)
         g = nn.Dropout(self.dropout, name="vdrop")(
             g, deterministic=deterministic)
+        g = to_vox_dtype(g)
         g = jax.lax.optimization_barrier(g)
         g = VoxConv(self.out_channels, dtype=self.dtype, name="vconv1")(g)
         g = jax.lax.optimization_barrier(g)
@@ -236,11 +249,21 @@ class PVConv(nn.Module):
         else:
             g = swish(g)
         if self.with_se:
-            g = SE(use_relu=self.with_se_relu, dtype=self.dtype,
-                   name="se")(g)
+            # the per-channel SE gate commutes with the linear trilinear
+            # devoxelization -> apply it to the (B, N, C) points and skip
+            # a full grid read+write pass
+            se_scale = SE(use_relu=self.with_se_relu, dtype=self.dtype,
+                          return_scale=True, name="se")(g)
+        else:
+            se_scale = None
 
+        # bf16 grid for the devox gather (the cast fuses into the
+        # producing GN/swish fusion; halves the gather's reads)
+        g = to_vox_dtype(g)
         voxel_features = ops.trilinear_devoxelize(
-            g.astype(jnp.float32), norm_coords)
+            g, norm_coords).astype(jnp.float32)
+        if se_scale is not None:
+            voxel_features = voxel_features * se_scale[:, None, :]
         point_features = SharedMLP((self.out_channels,), dtype=self.dtype,
                                    name="point_features")(features)
         return voxel_features + point_features.astype(jnp.float32)

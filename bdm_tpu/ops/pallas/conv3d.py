@@ -33,6 +33,7 @@ def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *, h, w):
     hw = h * w
     cin = mid_ref.shape[-1]
     cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
     ys = rows // w
@@ -61,7 +62,7 @@ def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *, h, w):
         col = jnp.concatenate(cols, axis=1)                # (HW, 9*Cin)
         acc = acc + jnp.dot(col, w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
                             preferred_element_type=jnp.float32)
-    out_ref[0, 0] = acc + b_ref[0, :]
+    out_ref[0, 0] = (acc + b_ref[0, :]).astype(out_dt)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -69,11 +70,14 @@ def conv3d_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                   bias: jnp.ndarray, resolution: int,
                   interpret: bool = False) -> jnp.ndarray:
     """grid (B, R, R, R, Cin) f32, weights (3, 3, 3, Cin, Cout),
-    bias (Cout,) -> (B, R, R, R, Cout) f32 (stride 1, SAME)."""
+    bias (Cout,) -> (B, R, R, R, Cout) in the input dtype (stride 1,
+    SAME). Pass a bf16 grid to halve the pad + kernel input traffic (the
+    matmuls are bf16-input/f32-accumulate either way)."""
     b, r, _, _, cin = grid.shape
     assert r == resolution
     cout = weights.shape[-1]
     hw = r * r
+    out_dt = grid.dtype
 
     gp = jnp.pad(grid.reshape(b, r, hw, cin),
                  ((0, 0), (1, 1), (0, 0), (0, 0)))
@@ -98,7 +102,7 @@ def conv3d_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, hw, cout),
                                lambda bi, d: (bi, d, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
         interpret=interpret,
     )(wm, bm, gp, gp, gp)
     return out.reshape(b, r, r, r, cout)
