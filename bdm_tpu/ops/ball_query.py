@@ -38,6 +38,8 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
     Returns:
         (B, M, U) int32 indices into N.
     """
+    centers = jax.lax.stop_gradient(centers)
+    points = jax.lax.stop_gradient(points)
     b, m, _ = centers.shape
     n = points.shape[1]
     u = int(num_neighbors)

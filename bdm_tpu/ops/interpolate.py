@@ -32,6 +32,10 @@ def three_nn(points: jnp.ndarray, centers: jnp.ndarray,
         indices: (B, N, 3) int32.
         weights: (B, N, 3) float32, rows sum to 1.
     """
+    # no coordinate backward in the reference (`neighbor_interpolate.cu`
+    # differentiates features only); see furthest_point_sample
+    points = jax.lax.stop_gradient(points)
+    centers = jax.lax.stop_gradient(centers)
     b, n, _ = points.shape
     m = centers.shape[1]
 

@@ -44,6 +44,11 @@ def furthest_point_sample(coords: jnp.ndarray, num_samples: int,
         (B, M) int32 indices into N. indices[:, 0] == 0 per the reference
         kernel (`sampling.cu:103-105`).
     """
+    # the reference kernel has no coordinate backward (`sampling.cu`
+    # returns indices only); stop_gradient also keeps structurally-nonzero
+    # (but value-zero) tangents out of the Pallas kernel, whose jvp rule
+    # would reject them
+    coords = jax.lax.stop_gradient(coords)
     b, n, _ = coords.shape
     m = int(num_samples)
     if use_pallas is None:
