@@ -132,9 +132,12 @@ def _conv3d_fwd(grid, weights, bias, resolution):
 
 def _conv3d_bwd(resolution, res, g):
     grid, weights = res
-    _, vjp = jax.vjp(lambda x, w, b: _xla_conv3d(x, w, b), grid, weights,
-                     jnp.zeros((weights.shape[-1],), grid.dtype))
-    return vjp(g)
+    # grids may be bf16 while params stay f32: cast inside so the vjp
+    # returns cotangents in the primal dtypes
+    _, vjp = jax.vjp(
+        lambda x, w, b: _xla_conv3d(x, w.astype(x.dtype), b.astype(x.dtype)),
+        grid, weights, jnp.zeros((weights.shape[-1],), weights.dtype))
+    return vjp(g.astype(grid.dtype))
 
 
 conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)
