@@ -68,3 +68,76 @@ def scatter_sum_pallas(features: jnp.ndarray, ids: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, num_segments, c), jnp.float32),
         interpret=interpret,
     )(ids.astype(jnp.int32).reshape(b, 1, n), features)
+
+
+# ----------------------------------------------------- sorted-range variant
+
+def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
+                           tile_v: int, maxp: int):
+    """Per (batch, voxel-tile): only the sorted-id range belonging to this
+    tile is compared/contracted — the one-hot mask shrinks from
+    (TILE_V, N) to (TILE_V, MAXP) per chunk (typically one chunk: the
+    mean occupancy is N / num_tiles points per tile)."""
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n = ids_ref.shape[2]
+    base = t_idx * tile_v
+    vox = base + jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)
+
+    start = lo_ref[b_idx, t_idx]
+    end = lo_ref[b_idx, t_idx + 1]
+    acc = jnp.zeros((tile_v, out_ref.shape[-1]), jnp.float32)
+    n_chunks = (n + maxp - 1) // maxp
+    for k in range(n_chunks):
+        s = start + k * maxp
+
+        def body(a, s=s):
+            s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
+            ids = ids_ref[0, 0, pl.ds(s_c, maxp)].reshape(1, maxp)
+            # mask out rows outside [start, end)
+            pos = s_c + jax.lax.broadcasted_iota(jnp.int32, (1, maxp), 1)
+            valid = (pos >= start) & (pos < end)
+            mask = ((ids == vox) & valid).astype(jnp.bfloat16)
+            f = feats_ref[0, pl.ds(s_c, maxp), :].astype(jnp.bfloat16)
+            return a + jnp.dot(mask, f,
+                               preferred_element_type=jnp.float32)
+
+        acc = jax.lax.cond(s < end, body, lambda a: a, acc)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
+                              tile_lo: jnp.ndarray, num_segments: int,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Sorted-range matmul-scatter.
+
+    features (B, N, C) SORTED by voxel id; ids (B, N) int32 sorted
+    ascending; tile_lo (B, T+1) int32 — first sorted position belonging
+    to each voxel tile (tile t covers ids [t*TILE_V, (t+1)*TILE_V)),
+    with tile_lo[:, T] == N. Returns per-segment sums (B, num_segments, C).
+    """
+    b, n, c = features.shape
+    tile_v = min(512 if c <= 128 else 128, num_segments)
+    assert num_segments % tile_v == 0, (num_segments, tile_v)
+    maxp = min(n, 1024)
+
+    grid = (b, num_segments // tile_v)
+    kernel = functools.partial(_scatter_sorted_kernel, tile_v=tile_v,
+                               maxp=maxp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_lo, full
+            pl.BlockSpec((1, 1, n), lambda bi, vi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, vi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_v, c), lambda bi, vi: (bi, vi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_segments, c), jnp.float32),
+        interpret=interpret,
+    )(tile_lo.astype(jnp.int32), ids.astype(jnp.int32).reshape(b, 1, n),
+      features)

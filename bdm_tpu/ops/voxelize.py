@@ -78,15 +78,33 @@ class VoxelContext(NamedTuple):
 
     norm_coords: jnp.ndarray       # (B, N, 3) float in [0, R-1]
     ids: jnp.ndarray               # (B, N) int32 flat voxel id per point
+    order: jnp.ndarray             # (B, N) int32 argsort of ids
+    ids_sorted: jnp.ndarray        # (B, N) int32
+    tile_lo: jnp.ndarray           # (B, T+1) int32, T = R^3/min(512,R^3)
 
 
 def make_voxel_context(coords: jnp.ndarray, resolution: int,
                        normalize: bool = True,
                        eps: float = 0.0) -> VoxelContext:
+    b, n, _ = coords.shape
+    r3 = resolution ** 3
     norm_coords, vox_coords = normalize_coords(coords, resolution, normalize,
                                                eps)
-    ids = _flat_voxel_ids(vox_coords, resolution)  # (B, N)
-    return VoxelContext(norm_coords, ids.astype(jnp.int32))
+    ids = _flat_voxel_ids(vox_coords, resolution).astype(jnp.int32)  # (B, N)
+    order = jnp.argsort(ids, axis=1).astype(jnp.int32)
+    ids_sorted = jnp.take_along_axis(ids, order, axis=1)
+    # per-voxel-tile ranges of the sorted order (for the sorted-range
+    # Pallas scatter): tile t covers voxel ids [t*TILE_V, (t+1)*TILE_V)
+    tile_v = min(512, r3)
+    t = r3 // tile_v
+    tid = ids_sorted // tile_v                              # (B, N)
+    counts = jnp.sum(
+        tid[:, None, :] == jnp.arange(t, dtype=jnp.int32)[None, :, None],
+        axis=-1)                                            # (B, T)
+    tile_lo = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1).astype(jnp.int32)], axis=1)
+    return VoxelContext(norm_coords, ids, order, ids_sorted, tile_lo)
 
 
 def _use_pallas_scatter() -> bool:
@@ -110,24 +128,24 @@ def avg_voxelize_ctx(features: jnp.ndarray, ctx: VoxelContext,
     return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution)
 
 
-def _scatter_sums_with_counts(features, ids, r3):
+def _scatter_sums_with_counts(features, ctx, r3):
     """One scatter of [features | 1] -> (sums (B, R^3, C), counts)."""
+    ids = ctx.ids  # noqa: F841  (wide-channel path uses sorted ids)
     b, n, c = features.shape
     faug = jnp.concatenate(
         [features, jnp.ones((b, n, 1), features.dtype)], axis=-1)
-    # matmul-scatter wins below ~128 channels (XLA's serial scatter is the
-    # bottleneck there); at C=390 the mask matmul's FLOPs exceed the
-    # scatter cost (profiled 5.8 ms vs 2.0 ms), so wide channels stay on
-    # sorted segment_sum (~1.8x faster than the unsorted scatter)
+    # sorted-range matmul-scatter wins below ~128 channels (XLA's serial
+    # scatter is the bottleneck there); at C=390 the mask matmul's FLOPs
+    # exceed the scatter cost, so wide channels stay on sorted segment_sum
+    # (~1.8x faster than the unsorted scatter)
+    f_sorted = jnp.take_along_axis(faug, ctx.order[..., None], axis=1)
     if _use_pallas_scatter() and c < 128:
-        from bdm_tpu.ops.pallas.voxelize import scatter_sum_pallas
-        out = scatter_sum_pallas(faug, ids, r3)               # (B, R^3, C+1)
+        from bdm_tpu.ops.pallas.voxelize import scatter_sum_sorted_pallas
+        out = scatter_sum_sorted_pallas(f_sorted, ctx.ids_sorted,
+                                        ctx.tile_lo, r3)    # (B, R^3, C+1)
     else:
-        order = jnp.argsort(ids, axis=1)
-        ids_s = jnp.take_along_axis(ids, order, axis=1)
-        f_sorted = jnp.take_along_axis(faug, order[..., None], axis=1)
-        flat_ids = (ids_s
-                    + jnp.arange(b, dtype=ids_s.dtype)[:, None] * r3
+        flat_ids = (ctx.ids_sorted.astype(jnp.int32)
+                    + jnp.arange(b, dtype=jnp.int32)[:, None] * r3
                     ).reshape(-1)
         out = jax.ops.segment_sum(
             f_sorted.reshape(b * n, c + 1).astype(jnp.float32), flat_ids,
@@ -139,7 +157,7 @@ def _scatter_sums_with_counts(features, ids, r3):
 def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
     b, n, c = features.shape
     r3 = resolution ** 3
-    sums, counts = _scatter_sums_with_counts(features, ctx.ids, r3)
+    sums, counts = _scatter_sums_with_counts(features, ctx, r3)
     out = sums / jnp.maximum(counts, 1.0)[..., None]
     return out.reshape(b, resolution, resolution, resolution, c)
 
@@ -147,7 +165,7 @@ def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
 def _avg_voxelize_ctx_fwd(features, ctx, resolution):
     b, n, c = features.shape
     r3 = resolution ** 3
-    sums, counts = _scatter_sums_with_counts(features, ctx.ids, r3)
+    sums, counts = _scatter_sums_with_counts(features, ctx, r3)
     inv = 1.0 / jnp.maximum(counts, 1.0)
     out = (sums * inv[..., None]).reshape(
         b, resolution, resolution, resolution, c)
