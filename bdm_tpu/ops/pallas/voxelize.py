@@ -76,13 +76,17 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
                            tile_v: int, maxp: int):
     """Per (batch, voxel-tile): only the sorted-id range belonging to this
     tile is compared/contracted — the one-hot mask shrinks from
-    (TILE_V, N) to (TILE_V, MAXP) per chunk (typically one chunk: the
-    mean occupancy is N / num_tiles points per tile)."""
+    (TILE_V, N) to (MAXP, TILE_V) per chunk (typically one chunk: the
+    mean occupancy is N / num_tiles points per tile). Layout notes: ids
+    ride as (N, 1) so the dynamic chunk slice lands on the SUBLANE dim
+    (Mosaic rejects dynamic lane-dim offsets), and the contraction runs
+    as dot_general over dim 0 of the (MAXP, TILE_V) mask — no transposes
+    materialize."""
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
-    n = ids_ref.shape[2]
+    n = ids_ref.shape[1]
     base = t_idx * tile_v
-    vox = base + jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)
+    vox_row = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_v), 1)
 
     start = lo_ref[b_idx, t_idx]
     end = lo_ref[b_idx, t_idx + 1]
@@ -93,14 +97,14 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
 
         def body(a, s=s):
             s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
-            ids = ids_ref[0, 0, pl.ds(s_c, maxp)].reshape(1, maxp)
-            # mask out rows outside [start, end)
-            pos = s_c + jax.lax.broadcasted_iota(jnp.int32, (1, maxp), 1)
+            ids = ids_ref[0, pl.ds(s_c, maxp), :]          # (MAXP, 1)
+            pos = s_c + jax.lax.broadcasted_iota(jnp.int32, (maxp, 1), 0)
             valid = (pos >= start) & (pos < end)
-            mask = ((ids == vox) & valid).astype(jnp.bfloat16)
+            mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
             f = feats_ref[0, pl.ds(s_c, maxp), :].astype(jnp.bfloat16)
-            return a + jnp.dot(mask, f,
-                               preferred_element_type=jnp.float32)
+            return a + jax.lax.dot_general(
+                mask, f, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (TILE_V, C)
 
         acc = jax.lax.cond(s < end, body, lambda a: a, acc)
     out_ref[0] = acc
@@ -130,7 +134,7 @@ def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_lo, full
-            pl.BlockSpec((1, 1, n), lambda bi, vi: (bi, 0, 0),
+            pl.BlockSpec((1, n, 1), lambda bi, vi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda bi, vi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -139,5 +143,5 @@ def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, num_segments, c), jnp.float32),
         interpret=interpret,
-    )(tile_lo.astype(jnp.int32), ids.astype(jnp.int32).reshape(b, 1, n),
+    )(tile_lo.astype(jnp.int32), ids.astype(jnp.int32).reshape(b, n, 1),
       features)
