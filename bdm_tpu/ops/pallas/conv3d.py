@@ -141,3 +141,100 @@ def _conv3d_bwd(resolution, res, g):
 
 
 conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)
+
+
+# ------------------------------------------------- prenorm-fused variant
+
+def _conv_prenorm_kernel(w_ref, b_ref, a_ref, c_ref, lo_ref, mid_ref,
+                         hi_ref, out_ref, *, h, w, r):
+    """conv3d with a per-channel affine + swish applied to each input slab
+    as it is loaded: slab' = swish(slab * a + c). With
+    a = rsqrt(var+eps)*gamma and c = beta - mu*rsqrt(var+eps)*gamma this
+    fuses GroupNorm+swish into the next conv, skipping a full grid
+    read+write pass. The padded D-border slabs must stay ZERO (prenorm of
+    zero is swish(c) != 0), hence the program-id gate."""
+    hw = h * w
+    cin = mid_ref.shape[-1]
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+    d = pl.program_id(1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+    a = a_ref[0, 0, :].reshape(1, cin)
+    c = c_ref[0, 0, :].reshape(1, cin)
+
+    acc = jnp.zeros((hw, cout), jnp.float32)
+    for dz, src in enumerate((lo_ref, mid_ref, hi_ref)):
+        d_src = d + dz - 1
+        valid_z = (d_src >= 0) & (d_src <= r - 1)
+        y = src[0, 0].astype(jnp.float32) * a + c
+        slab = jnp.where(valid_z, (y * jax.nn.sigmoid(y)),
+                         0.0).astype(jnp.bfloat16)          # (HW, Cin)
+        cols = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = dy * w + dx
+                if s:
+                    k = s % hw
+                    shifted = jnp.concatenate([slab[k:], slab[:k]], axis=0)
+                else:
+                    shifted = slab
+                ok = ((ys + dy >= 0) & (ys + dy < h)
+                      & (xs + dx >= 0) & (xs + dx < w))
+                cols.append(jnp.where(ok, shifted, jnp.bfloat16(0)))
+        col = jnp.concatenate(cols, axis=1)                # (HW, 9*Cin)
+        acc = acc + jnp.dot(col, w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = (acc + b_ref[0, :]).astype(out_dt)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def conv3d_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
+                          bias: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
+                          resolution: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """conv3d(swish(grid * a + c)) with per-(batch, channel) affine a/c —
+    the fused [GroupNorm -> swish -> Conv3d] step of PVConv's voxel
+    branch (`modules/pvconv.py:70-76`), inference path."""
+    b, r, _, _, cin = grid.shape
+    assert r == resolution
+    cout = weights.shape[-1]
+    hw = r * r
+    out_dt = grid.dtype
+
+    gp = jnp.pad(grid.reshape(b, r, hw, cin),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    wm = weights.astype(jnp.bfloat16).reshape(27 * cin, cout)
+    bm = bias.astype(jnp.float32).reshape(1, cout)
+
+    def slice_spec(off):
+        return pl.BlockSpec((1, 1, hw, cin),
+                            lambda bi, d, _o=off: (bi, d + _o, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_prenorm_kernel, h=r, w=r, r=r),
+        grid=(b, r),
+        in_specs=[
+            pl.BlockSpec((27 * cin, cout), lambda bi, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # (B, 1, Cin): the block's trailing dims must equal the
+            # array's (Mosaic divisibility rule)
+            pl.BlockSpec((1, 1, cin), lambda bi, d: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda bi, d: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            slice_spec(0), slice_spec(1), slice_spec(2),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hw, cout),
+                               lambda bi, d: (bi, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        interpret=interpret,
+    )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
+      c.astype(jnp.float32).reshape(b, 1, cin), gp, gp, gp)
+    return out.reshape(b, r, r, r, cout)
