@@ -159,17 +159,13 @@ class VoxConv(nn.Module):
     ms for XLA's conv at (8, 32^3, 32); the 390-channel stage-0 conv keeps
     XLA's conv, which wins at that width. Same bf16-input precision as
     XLA's default f32 conv on this MXU.
-
-    `prenorm=(a, c)` (per-(batch, channel) affine) fuses a preceding
-    GroupNorm+swish into the slab load: conv(swish(x*a + c)) — Pallas
-    path only (PVConv's inference fast path).
     """
 
     features: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, prenorm=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
@@ -178,15 +174,10 @@ class VoxConv(nn.Module):
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
         if (_use_pallas_scatter() and cin <= 256 and r >= 2
                 and x.shape[1:4] == (r, r, r)):
+            from bdm_tpu.ops.pallas.conv3d import conv3d
             # dtype-preserving: PVConv feeds bf16 (cast fused upstream of
             # the barrier); output bf16, consumer GN computes f32 stats
-            if prenorm is not None:
-                from bdm_tpu.ops.pallas.conv3d import conv3d_prenorm_pallas
-                a, c = prenorm
-                return conv3d_prenorm_pallas(x, kernel, bias, a, c, r)
-            from bdm_tpu.ops.pallas.conv3d import conv3d
             return conv3d(x, kernel, bias, r)
-        assert prenorm is None, "prenorm fusion is a TPU-Pallas-only path"
         dt = self.dtype or x.dtype
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
@@ -194,33 +185,6 @@ class VoxConv(nn.Module):
             x.astype(dt), kernel.astype(dt), (1, 1, 1), "SAME",
             dimension_numbers=dn)
         return y + bias.astype(dt)
-
-
-class _AffineParams(nn.Module):
-    """scale/bias parameters with nn.GroupNorm's exact tree layout, so
-    PVConv can consume them either through the manual GroupNorm (training
-    path) or folded into the prenorm-fused conv (inference path)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.features,)),
-                self.param("bias", nn.initializers.zeros, (self.features,)))
-
-
-def _group_stats(g: jnp.ndarray, num_groups: int):
-    """Per-(batch, channel) mean and rsqrt(var+eps) of GroupNorm(8)
-    statistics (flax/torch semantics: contiguous channel groups, stats
-    over all spatial positions and within-group channels)."""
-    b = g.shape[0]
-    c = g.shape[-1]
-    x = g.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mu = x.mean(axis=(1, 3))                               # (B, G)
-    var = ((x - mu[:, None, :, None]) ** 2).mean(axis=(1, 3))
-    inv = jax.lax.rsqrt(var + 1e-5)
-    rep = c // num_groups
-    return (jnp.repeat(mu, rep, axis=1), jnp.repeat(inv, rep, axis=1))
 
 
 class PVConv(nn.Module):
@@ -266,35 +230,15 @@ class PVConv(nn.Module):
         # on the conv boundaries reproduce the isolated compilation
         g = jax.lax.optimization_barrier(g)
         g = VoxConv(self.out_channels, dtype=self.dtype, name="vconv0")(g)
-        ch = self.out_channels
-        scale0, bias0 = _AffineParams(ch, name="vnorm0")()
-        r = g.shape[1]
-        fuse_gn = (on_tpu and deterministic and ch <= 256 and r >= 2
-                   and g.shape[1:4] == (r, r, r))
-        if fuse_gn:
-            # fold GN0 + swish into vconv1's slab load (dropout is the
-            # identity here): stats are a cheap XLA reduce, the normalize
-            # pass over the grid disappears
-            mu, inv = _group_stats(g, 8)
-            a = inv * scale0[None, :]
-            c = bias0[None, :] - mu * a
-            g = jax.lax.optimization_barrier(g)
-            g = VoxConv(ch, dtype=self.dtype, name="vconv1")(
-                g, prenorm=(a, c))
-        else:
-            g = jax.lax.optimization_barrier(g)
-            # manual GroupNorm == nn.GroupNorm(8, eps 1e-5) on the same
-            # _AffineParams tree
-            mu, inv = _group_stats(g, 8)
-            g = (g.astype(jnp.float32)
-                 - mu[:, None, None, None, :]) * inv[:, None, None, None, :]
-            g = g * scale0 + bias0
-            g = swish(g)
-            g = nn.Dropout(self.dropout, name="vdrop")(
-                g, deterministic=deterministic)
-            g = to_vox_dtype(g)
-            g = jax.lax.optimization_barrier(g)
-            g = VoxConv(ch, dtype=self.dtype, name="vconv1")(g)
+        g = jax.lax.optimization_barrier(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                         name="vnorm0")(g)
+        g = swish(g)
+        g = nn.Dropout(self.dropout, name="vdrop")(
+            g, deterministic=deterministic)
+        g = to_vox_dtype(g)
+        g = jax.lax.optimization_barrier(g)
+        g = VoxConv(self.out_channels, dtype=self.dtype, name="vconv1")(g)
         g = jax.lax.optimization_barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm1")(g)
