@@ -17,7 +17,8 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from bdm_tpu.evaluation.metrics import chamfer_distance, fscore
+from bdm_tpu.evaluation.metrics import (chamfer_distance,
+                                        emd_sinkhorn, fscore)
 from bdm_tpu.utils import read_ply
 
 
@@ -42,6 +43,8 @@ def evaluate_dirs(pred_dir: str, gt_dir: str, metric: str = "cd",
             v = np.asarray(chamfer_distance(pred, gt)) * 1000.0
         elif metric == "f1":
             v = np.asarray(fscore(pred, gt, threshold=threshold)[0])
+        elif metric == "emd":
+            v = np.asarray(emd_sinkhorn(pred, gt, recenter=True))
         else:
             raise ValueError(metric)
         for (p, _), val in zip(chunk, v):
@@ -56,7 +59,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--pred_dir", required=True)
     parser.add_argument("--gt_dir", required=True)
-    parser.add_argument("--metric", choices=("cd", "f1", "both"),
+    parser.add_argument("--metric", choices=("cd", "f1", "emd", "both"),
                         default="both")
     parser.add_argument("--threshold", type=float, default=0.01)
     parser.add_argument("--batch_size", type=int, default=16)
@@ -68,8 +71,8 @@ def main(argv=None):
         values, nans = evaluate_dirs(args.pred_dir, args.gt_dir, metric,
                                      args.threshold, args.batch_size,
                                      args.seed)
-        label = "Chamfer-L2 x1000" if metric == "cd" else \
-            f"F1@{args.threshold}"
+        label = {"cd": "Chamfer-L2 x1000", "emd": "EMD (sinkhorn)"}.get(
+            metric, f"F1@{args.threshold}")
         mean = float(np.mean(values)) if values else float("nan")
         print(f"{label}: {mean:.4f} over {len(values)} pairs")
         if nans:

@@ -98,3 +98,46 @@ def chamfer_distance_sharded(pred: jnp.ndarray, gt: jnp.ndarray, mesh,
         return pg_sum / n + gp_min.mean(axis=1)
 
     return run(pred, gt)
+
+
+# ------------------------------------------------------------ earth mover's
+
+def emd_sinkhorn(pred: jnp.ndarray, gt: jnp.ndarray, epsilon: float = 0.002,
+                 iters: int = 50, recenter: bool = False) -> jnp.ndarray:
+    """Entropy-regularized approximation of the earth mover's distance.
+
+    The reference's EMD lived only in its dead TF1 metric code
+    (`pvd/utils/metrics.py`, never importable); this is a working,
+    jittable replacement: Sinkhorn iterations on the squared-distance
+    cost with uniform marginals, reported as the transport-weighted mean
+    distance (the usual point-cloud "EMD" convention, comparable to the
+    matched-assignment distance as epsilon -> 0).
+
+    pred: (B, N, 3); gt: (B, M, 3). Returns (B,) f32.
+    """
+    if recenter:
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        gt = gt - gt.mean(axis=1, keepdims=True)
+    n, m = pred.shape[1], gt.shape[1]
+    p2 = jnp.sum(pred * pred, axis=-1)
+    g2 = jnp.sum(gt * gt, axis=-1)
+    pg = jnp.einsum("bnc,bmc->bnm", pred, gt,
+                    precision=jax.lax.Precision.HIGHEST)
+    c = jnp.sqrt(jnp.maximum(
+        p2[..., :, None] + g2[..., None, :] - 2.0 * pg, 0.0))  # (B, N, M)
+
+    log_k = -c / epsilon
+    log_a = jnp.full((pred.shape[0], n), -jnp.log(n), c.dtype)
+    log_b = jnp.full((pred.shape[0], m), -jnp.log(m), c.dtype)
+
+    def body(carry, _):
+        f, g = carry
+        f = log_a - jax.nn.logsumexp(log_k + g[:, None, :], axis=2)
+        g = log_b - jax.nn.logsumexp(log_k + f[:, :, None], axis=1)
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(
+        body, (jnp.zeros_like(log_a), jnp.zeros_like(log_b)), None,
+        length=iters)
+    pi = jnp.exp(log_k + f[:, :, None] + g[:, None, :])       # (B, N, M)
+    return jnp.sum(pi * c, axis=(1, 2))

@@ -60,3 +60,18 @@ def test_chamfer_sharded_matches_dense():
     want = np.asarray(chamfer_distance(pred, gt))
     got = np.asarray(chamfer_distance_sharded(pred, gt, mesh))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_emd_sinkhorn_identity_and_shift():
+    """EMD of a permuted copy is ~0; of a rigid translation it is ~|t|
+    (every unit of mass moves exactly |t|)."""
+    from bdm_tpu.evaluation.metrics import emd_sinkhorn
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    perm = rng.permutation(64)
+    same = np.asarray(emd_sinkhorn(jnp.asarray(a), jnp.asarray(a[:, perm])))
+    assert same[0] < 0.02, same
+    t = np.array([0.5, 0.0, 0.0], np.float32)
+    shifted = np.asarray(
+        emd_sinkhorn(jnp.asarray(a), jnp.asarray(a + t)))
+    np.testing.assert_allclose(shifted[0], 0.5, atol=0.05)
