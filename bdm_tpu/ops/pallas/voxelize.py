@@ -99,7 +99,11 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
             s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
             ids = ids_ref[0, pl.ds(s_c, maxp), :]          # (MAXP, 1)
             pos = s_c + jax.lax.broadcasted_iota(jnp.int32, (maxp, 1), 0)
-            valid = (pos >= start) & (pos < end)
+            # lower bound is this CHUNK's start s, not the tile's: when the
+            # clamp shifts the window back (s > n - maxp) a tile-level bound
+            # would re-admit positions already summed by the previous chunk
+            # and double-count them (s >= start always, so this is tighter)
+            valid = (pos >= s) & (pos < end)
             mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
             f = feats_ref[0, pl.ds(s_c, maxp), :].astype(jnp.bfloat16)
             return a + jax.lax.dot_general(
@@ -124,6 +128,10 @@ def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
     b, n, c = features.shape
     tile_v = min(512 if c <= 128 else 128, num_segments)
     assert num_segments % tile_v == 0, (num_segments, tile_v)
+    # tile_lo was built for a specific tile size; a mismatch (e.g. a future
+    # >=128-channel caller) would silently misindex the ranges
+    assert tile_lo.shape[1] == num_segments // tile_v + 1, (
+        tile_lo.shape, num_segments, tile_v)
     maxp = min(n, 1024)
 
     grid = (b, num_segments // tile_v)

@@ -337,3 +337,30 @@ def test_scatter_sum_sorted_pallas_interpret(rng):
     np.testing.assert_allclose(np.asarray(got),
                                want.reshape(b, segs, c), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_scatter_sum_sorted_pallas_multichunk_clamped(rng):
+    """Regression: a voxel tile holding > MAXP points whose sorted range
+    starts chunk-unaligned. The second chunk's start gets clamped back to
+    n - MAXP; a tile-level validity bound would re-admit (and double-count)
+    positions the first chunk already summed."""
+    from bdm_tpu.ops.pallas.voxelize import scatter_sum_sorted_pallas
+    b, c, segs = 1, 5, 1024          # tile_v = 512 -> 2 tiles
+    tile_v, t = 512, 2
+    # 100 points in tile 0, 1300 (> maxp=1024) in tile 1: tile 1's range
+    # [100, 1400) spans two chunks and chunk 1's start (1124) clamps to 376
+    ids = np.sort(np.concatenate([
+        rng.integers(0, tile_v, 100),
+        rng.integers(tile_v, segs, 1300)])).astype(np.int32)[None]
+    n = ids.shape[1]
+    feats = rng.standard_normal((b, n, c)).astype(np.float32)
+    lo = np.zeros((b, t + 1), np.int32)
+    for ti in range(t):
+        lo[0, ti] = np.searchsorted(ids[0], ti * tile_v)
+    lo[0, t] = n
+    got = scatter_sum_sorted_pallas(jnp.asarray(feats), jnp.asarray(ids),
+                                    jnp.asarray(lo), segs, interpret=True)
+    want = np.zeros((segs, c), np.float32)
+    np.add.at(want, ids[0], feats[0])
+    np.testing.assert_allclose(np.asarray(got)[0], want, rtol=2e-2,
+                               atol=2e-2)
