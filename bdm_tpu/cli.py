@@ -38,6 +38,7 @@ def projection_config(cfg: ProjectConfig) -> ProjectionConfig:
         beta_schedule=m.beta_schedule,
         point_cloud_model=m.point_cloud_model,
         point_cloud_model_embed_dim=m.point_cloud_model_embed_dim,
+        mixed_precision=cfg.run.mixed_precision,
     )
 
 
@@ -54,7 +55,7 @@ def build_pc2(cfg: ProjectConfig, ckpt: Optional[str] = None):
 
 
 def build_pvd(cfg: ProjectConfig, ckpt: Optional[str] = None):
-    pvd = PVDModel()
+    pvd = PVDModel(mixed_precision=cfg.run.mixed_precision)
     params = pvd.init_params(jax.random.PRNGKey(cfg.run.seed + 1),
                              num_points=min(1024, cfg.dataset.max_points))
     if ckpt:

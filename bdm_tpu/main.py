@@ -108,15 +108,18 @@ def make_val_callback(cfg: ProjectConfig, pc2, loader_val, mesh, logger,
     from bdm_tpu.data.loader import model_batch
     from bdm_tpu.parallel import shard_batch
 
-    limit = cfg.run.limit_val_batches or 1
+    # limit_val_batches unset -> validate the FULL held-out loader, like
+    # the reference's val loop (`main.py:286-303` iterates dataloader_val)
+    limit = cfg.run.limit_val_batches
     val_batches = []
     for bi, batch in enumerate(loader_val):
-        if bi >= limit:
+        if limit is not None and bi >= limit:
             break
         b = model_batch(batch)
         if mesh is not None:
             b = shard_batch(b, mesh)
         val_batches.append(b)
+    print(f"val callback: {len(val_batches)} batch(es) per eval")
     val_loss_fn = jax.jit(pc2.loss)
 
     def val_cb(step, state, metrics):

@@ -23,6 +23,8 @@ Parameter partition for training (`model/__init__.py:27-35`): freeze
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +67,7 @@ class PVCNNFuse(nn.Module):
     voxel_resolution_multiplier: int = 1
     sa_blocks: tuple = PVCNN_SA_BLOCKS
     fp_blocks: tuple = PVCNN_FP_BLOCKS
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, recon_inputs_with_cond: jnp.ndarray,
@@ -87,6 +90,7 @@ class PVCNNFuse(nn.Module):
         coords_pc2 = recon_inputs_with_cond[..., :3]
         f_pc2, cc_pc2, temb_pc2, coords_list, pc2_skips = PVCNNEncoder(
             specs=pc2_specs, use_att=self.use_att, dropout=self.dropout,
+            dtype=self.dtype,
             name="pc2_encoder")(recon_inputs_with_cond, coords_pc2, temb,
                                 deterministic)
         pc2_skips[0] = recon_inputs_with_cond[..., 3:]
@@ -98,6 +102,7 @@ class PVCNNFuse(nn.Module):
             coords_pvd = coords_pc2
         f_pvd, _, _, _, pvd_skips = PVCNNEncoder(
             specs=pvd_specs, use_att=self.use_att, dropout=self.dropout,
+            dtype=self.dtype,
             name="pvd_encoder")(coords_pvd, coords_pvd, temb, deterministic)
 
         # ---- per-scale zero-conv fusion (`pvcnn_fuse.py:203-212`)
@@ -117,5 +122,6 @@ class PVCNNFuse(nn.Module):
         return PVCNNDecoder(
             specs=pc2_specs, out_channels=self.out_channels,
             dropout=self.dropout, classifier_init_scale=None,
+            dtype=self.dtype,
             name="decoder")(fused, cc_pc2, temb_pc2, coords_list,
                             fused_skips, deterministic)

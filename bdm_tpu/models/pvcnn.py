@@ -178,6 +178,13 @@ class VoxConv(nn.Module):
             # dtype-preserving: PVConv feeds bf16 (cast fused upstream of
             # the barrier); output bf16, consumer GN computes f32 stats
             return conv3d(x, kernel, bias, r)
+        if (_use_pallas_scatter() and cin > 256 and r >= 2
+                and x.shape[1:4] == (r, r, r)):
+            # wide inputs (the 390-ch stage-0 conv): matmul-first
+            # formulation — XLA's conv runs tap-blocked from HBM here
+            # (4.8 ms) and im2col is col-build-bound at this width
+            from bdm_tpu.ops.conv_wide import conv3d_wide
+            return conv3d_wide(x, kernel, bias)
         dt = self.dtype or x.dtype
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
@@ -260,13 +267,15 @@ class PVConv(nn.Module):
         # bf16 grid for the devox gather (the cast fuses into the
         # producing GN/swish fusion; halves the gather's reads)
         g = to_vox_dtype(g)
+        acc_dt = self.dtype or jnp.float32
         voxel_features = ops.trilinear_devoxelize(
-            g, norm_coords).astype(jnp.float32)
+            g, norm_coords).astype(acc_dt)
         if se_scale is not None:
-            voxel_features = voxel_features * se_scale[:, None, :]
+            voxel_features = voxel_features * se_scale[:, None, :].astype(
+                acc_dt)
         point_features = SharedMLP((self.out_channels,), dtype=self.dtype,
                                    name="point_features")(features)
-        return voxel_features + point_features.astype(jnp.float32)
+        return voxel_features + point_features.astype(acc_dt)
 
 
 class PointNetSAModule(nn.Module):
@@ -292,20 +301,25 @@ class PointNetSAModule(nn.Module):
         centers = ops.gather(coords, idx)                      # (B, M, 3)
         nbr = ops.ball_query(centers, coords, self.radius,
                              self.num_neighbors)               # (B, M, U)
+        acc_dt = self.dtype or jnp.float32
         if self.include_coordinates:
             # ONE gather of [coords | features]: a separate 3-channel
             # coords gather wastes 97% of every lane row (profiled 1.5 ms
-            # at stage 0 vs ~0 marginal cost on the feature gather)
+            # at stage 0 vs ~0 marginal cost on the feature gather).
+            # Under bf16 the rel-coords ride as bf16 too — they are MLP
+            # inputs from here on, not geometry (FPS/ball query above
+            # consumed the f32 coords).
             both = ops.grouping(
-                jnp.concatenate([coords, features], axis=-1), nbr)
+                jnp.concatenate([coords.astype(acc_dt),
+                                 features.astype(acc_dt)], axis=-1), nbr)
             nbr_feats = jnp.concatenate(
-                [both[..., :3] - centers[:, :, None, :], both[..., 3:]],
-                axis=-1)
+                [both[..., :3] - centers[:, :, None, :].astype(acc_dt),
+                 both[..., 3:]], axis=-1)
         else:
             nbr_feats = ops.grouping(features, nbr)
         f = SharedMLP(tuple(self.mlp), dtype=self.dtype,
                       name="mlp")(nbr_feats)              # (B, M, U, C)
-        f = f.max(axis=2).astype(jnp.float32)
+        f = f.max(axis=2).astype(acc_dt)
         return f, centers, temb
 
 
@@ -346,16 +360,20 @@ class PointNetFPModule(nn.Module):
                  coarse_features: jnp.ndarray,
                  skip_features: Optional[jnp.ndarray],
                  temb: jnp.ndarray):
+        acc_dt = self.dtype or jnp.float32
         f = ops.three_nn_interpolate(fine_coords, coarse_coords,
                                      coarse_features)
         n = fine_coords.shape[1]
-        parts = [f, jnp.broadcast_to(temb[:, None, :],
-                                     (temb.shape[0], n, temb.shape[-1]))]
+        # cast every part to the compute dtype BEFORE the concat so the
+        # materialized (B, N, C) buffer rides at half width under bf16
+        parts = [f.astype(acc_dt),
+                 jnp.broadcast_to(temb[:, None, :].astype(acc_dt),
+                                  (temb.shape[0], n, temb.shape[-1]))]
         if skip_features is not None and skip_features.shape[-1] > 0:
-            parts.append(skip_features)
+            parts.append(skip_features.astype(acc_dt))
         f = jnp.concatenate(parts, axis=-1)
         f = SharedMLP(tuple(self.mlp), dtype=self.dtype, name="mlp")(f)
-        return f.astype(jnp.float32), fine_coords, temb
+        return f.astype(acc_dt), fine_coords, temb
 
 
 # -------------------------------------------------------- encoder / decoder
@@ -381,13 +399,14 @@ class PVCNNEncoder(nn.Module):
         for i, stage in enumerate(self.specs.sa_stages):
             in_features_list.append(features)
             coords_list.append(coords)
+            acc_dt = self.dtype or jnp.float32
             if i == 0:
                 f = features
             else:
                 n = features.shape[1]
                 f = jnp.concatenate(
-                    [features,
-                     jnp.broadcast_to(temb[:, None, :],
+                    [features.astype(acc_dt),
+                     jnp.broadcast_to(temb[:, None, :].astype(acc_dt),
                                       (temb.shape[0], n, temb.shape[-1]))],
                     axis=-1)
             vox_ctx = (ops.make_voxel_context(coords,
@@ -413,7 +432,7 @@ class PVCNNEncoder(nn.Module):
         if self.use_att:
             features = Attention(num_groups=8, dtype=self.dtype,
                                  name="global_att")(features)
-            features = features.astype(jnp.float32)
+            features = features.astype(self.dtype or jnp.float32)
         return features, coords, temb, coords_list, in_features_list
 
 
@@ -501,8 +520,10 @@ class PVCNN2(nn.Module):
         temb = get_timestep_embedding(self.embed_dim, t)
         temb = TimestepMLP(self.embed_dim, name="embedf")(temb)  # (B, E)
 
-        coords = inputs[..., :3]
-        features = inputs
+        # geometry (FPS / ball query / voxel ids) always reads f32 coords;
+        # under bf16 only the FEATURE stream is narrowed
+        coords = inputs[..., :3].astype(jnp.float32)
+        features = inputs if self.dtype is None else inputs.astype(self.dtype)
 
         feats, ccoords, ctemb, coords_list, skip_list = PVCNNEncoder(
             specs=specs, use_att=self.use_att, dropout=self.dropout,

@@ -12,6 +12,8 @@ Rebuild of `experiments/model/simple/` (SURVEY.md #19) and
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -43,21 +45,24 @@ class GatedFeedForward(nn.Module):
     LayerNorm, over per-point features with pooled global context."""
 
     hidden_mult: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
-        # global context: max-pool and std-pool over points
+        # global context: max-pool and std-pool over points (std in f32)
         gmax = x.max(axis=1, keepdims=True)
-        gstd = x.std(axis=1, keepdims=True)
+        gstd = x.astype(jnp.float32).std(axis=1, keepdims=True).astype(
+            x.dtype)
         h = jnp.concatenate(
             [x, jnp.broadcast_to(gmax, x.shape),
              jnp.broadcast_to(gstd, x.shape)], axis=-1)
-        h = nn.LayerNorm(name="norm")(h)
-        a = nn.Dense(d * self.hidden_mult, name="proj_in")(h)
-        g = nn.Dense(d * self.hidden_mult, name="gate")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        a = nn.Dense(d * self.hidden_mult, dtype=self.dtype,
+                     name="proj_in")(h)
+        g = nn.Dense(d * self.hidden_mult, dtype=self.dtype, name="gate")(h)
         h = a * jnp.tanh(nn.softplus(g))  # mish-style gate
-        h = nn.Dense(d, name="proj_out")(h)
+        h = nn.Dense(d, dtype=self.dtype, name="proj_out")(h)
         return x + h
 
 
@@ -70,6 +75,7 @@ class SimplePointModel(nn.Module):
     dim: int = 128
     num_layers: int = 6
     num_freqs: int = 10
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, t: jnp.ndarray,
@@ -81,10 +87,10 @@ class SimplePointModel(nn.Module):
                                 (temb.shape[0], n, temb.shape[-1]))
         pos = PositionalEncoding(self.num_freqs)(inputs[..., :3])
         x = jnp.concatenate([pos, inputs[..., 3:], temb], axis=-1)
-        x = nn.Dense(self.dim, name="input_projection")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="input_projection")(x)
         for i in range(self.num_layers):
-            x = GatedFeedForward(name=f"block{i}")(x)
-        x = nn.LayerNorm(name="final_norm")(x)
+            x = GatedFeedForward(dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(name="final_norm")(x.astype(jnp.float32))
         init = nn.initializers.normal(1e-6)
         return nn.Dense(self.out_channels, kernel_init=init, bias_init=init,
                         name="output_projection")(x)
@@ -97,6 +103,7 @@ class PVCNN2PlusPlus(nn.Module):
     embed_dim: int = 64
     extra_feature_channels: int = 3
     dim: int = 64
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, t: jnp.ndarray,
@@ -104,13 +111,14 @@ class PVCNN2PlusPlus(nn.Module):
         simple = SimplePointModel(
             out_channels=self.dim, embed_dim=self.embed_dim,
             extra_feature_channels=self.extra_feature_channels,
-            dim=self.dim, num_layers=2, name="simple")
+            dim=self.dim, num_layers=2, dtype=self.dtype, name="simple")
         feats = simple(inputs, t, deterministic)
         coords = inputs[..., :3]
         pv_in = jnp.concatenate([coords, feats], axis=-1)
         pv = PVCNN2(out_channels=self.dim, embed_dim=self.embed_dim,
                     extra_feature_channels=self.dim,
-                    classifier_init_scale=None, name="pvcnn")(
+                    classifier_init_scale=None, dtype=self.dtype,
+                    name="pvcnn")(
             pv_in, t, deterministic)
         x = feats + pv
         x = swish(nn.Dense(self.dim, name="head_fc")(x))

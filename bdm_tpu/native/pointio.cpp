@@ -12,7 +12,8 @@
 //   pointio_read_ply(path, out*, max_points, seed) -> n_points or -errcode
 //   pointio_read_many_npy(paths, n, out*, stride, max_points, seed, nthreads)
 //
-// Build: see bdm_tpu/native/build.py (g++ -O3 -shared -fPIC).
+// Build: inline in bdm_tpu/native/pointio.py::_build (g++ -O3 -shared
+// -fPIC).
 
 #include <atomic>
 #include <cstdint>

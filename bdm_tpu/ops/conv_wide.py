@@ -1,0 +1,62 @@
+"""Wide-input 3x3x3 voxel conv as one MXU matmul + a shift-sum.
+
+The stage-0 PVConv conv sees Cin=390 (x_t + image conditioning,
+`modules/pvconv.py:69-83` with the PC2 input width): XLA's conv3d picks
+tap-blocked accumulation from HBM there (profiled 4.8 ms at B=8, R=32),
+and the Pallas im2col kernel is col-build-bound at that width (27 copies
+of a (1024, 390) slab per D-slice). Reordering fixes both:
+
+    conv(x)[v] = sum_t shift_t(x)[v] @ W_t            (t = 27 taps)
+               = sum_t shift_t(x @ W_t)[v]            (shift commutes with
+                                                       the per-voxel matmul)
+
+so the whole tap family is ONE (B*R^3, Cin) x (Cin, 27*Cout) matmul — a
+clean MXU contraction with no col building — followed by 27 shifted
+slice-adds of narrow (Cout-wide) grids, which XLA fuses into a single
+elementwise pass over the zero-padded intermediate. Same FLOPs as the
+conv, reordered for the hardware.
+
+Precision: bf16 matmul inputs / f32 accumulation — the default precision
+XLA gives f32 convs on this MXU; the (27*Cout)-wide intermediate rides
+bf16 to halve the shift-sum's reads.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def conv3d_wide(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: jnp.ndarray) -> jnp.ndarray:
+    """SAME 3x3x3 conv over a cubic voxel grid, matmul-first.
+
+    Args:
+        x: (B, R, R, R, Cin) voxel grid (any float dtype).
+        kernel: (3, 3, 3, Cin, Cout) — nn.Conv's DHWIO layout.
+        bias: (Cout,).
+
+    Returns:
+        (B, R, R, R, Cout) float32.
+    """
+    b, r = x.shape[0], x.shape[1]
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    # (Cin, 27 * Cout): tap-major blocks along the output axis
+    w_all = kernel.reshape(27, cin, cout).transpose(1, 0, 2).reshape(
+        cin, 27 * cout)
+    g = jnp.dot(x.reshape(b, r * r * r, cin).astype(jnp.bfloat16),
+                w_all.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    g = g.reshape(b, r, r, r, 27, cout).astype(jnp.bfloat16)
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    # out[v] = sum_t gp[v + delta(t), t]: SAME conv with tap (kd,kh,kw)
+    # reads x[v + k - 1], i.e. the pad offset kd:kd+r selects exactly that
+    acc = None
+    t = 0
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                part = gp[:, dz:dz + r, dy:dy + r, dx:dx + r, t, :].astype(
+                    jnp.float32)
+                acc = part if acc is None else acc + part
+                t += 1
+    return acc + bias.astype(jnp.float32)

@@ -141,7 +141,12 @@ def _scatter_sums_with_counts(features, ctx, r3):
     f_sorted = jnp.take_along_axis(faug, ctx.order[..., None], axis=1)
     if _use_pallas_scatter() and c < 128:
         from bdm_tpu.ops.pallas.voxelize import scatter_sum_sorted_pallas
-        out = scatter_sum_sorted_pallas(f_sorted, ctx.ids_sorted,
+        # f32 at the kernel boundary: Mosaic cannot prove alignment of the
+        # kernel's DYNAMIC sublane-dim slices for 16-bit element types
+        # ("index in dimension 1 is a multiple of 8"); the kernel casts to
+        # bf16 in VMEM for the MXU contraction anyway
+        out = scatter_sum_sorted_pallas(f_sorted.astype(jnp.float32),
+                                        ctx.ids_sorted,
                                         ctx.tile_lo, r3)    # (B, R^3, C+1)
     else:
         flat_ids = (ctx.ids_sorted.astype(jnp.int32)
@@ -169,19 +174,23 @@ def _avg_voxelize_ctx_fwd(features, ctx, resolution):
     inv = 1.0 / jnp.maximum(counts, 1.0)
     out = (sums * inv[..., None]).reshape(
         b, resolution, resolution, resolution, c)
-    return out, (ctx, inv)
+    # zero-size dtype carrier: the bwd must return grads in the PRIMAL
+    # features dtype (bf16 under mixed precision), which residual arrays
+    # otherwise don't record
+    proto = jnp.zeros((0,), features.dtype)
+    return out, (ctx, inv, proto)
 
 
 def _avg_voxelize_ctx_bwd(resolution, res, g):
     """d mean/d feature = grad[voxel(p)] / count[voxel(p)] — one gather
     (matches `avg_voxelize_grad_kernel`, `vox.cu:85-112`)."""
-    ctx, inv = res
+    ctx, inv, proto = res
     b = g.shape[0]
     r3 = resolution ** 3
     c = g.shape[-1]
     g_flat = g.reshape(b, r3, c) * inv[..., None]             # (B, R^3, C)
     grad_feats = jnp.take_along_axis(g_flat, ctx.ids[..., None].astype(
-        jnp.int32), axis=1)
+        jnp.int32), axis=1).astype(proto.dtype)
     ctx_zero = jax.tree_util.tree_map(
         lambda x: (np.zeros(x.shape, jax.dtypes.float0)
                    if jnp.issubdtype(x.dtype, jnp.integer)

@@ -16,6 +16,7 @@ The conditioning map is computed once for the whole trajectory.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Sequence
 
 import jax
@@ -31,6 +32,66 @@ def blend_point_clouds(a: jnp.ndarray, b: jnp.ndarray,
     (`main_blending.py:326-344`)."""
     choice = jax.random.randint(key, a.shape[:2], 0, 2)  # (B, N) in {0, 1}
     return jnp.where((choice == 0)[..., None], a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_fused_rolls(pc2: PC2Model, pvd: PVDModel, pc2_params,
+                        pvd_params, x, camera, cond_map, ts_recon, ts_prior,
+                        keys_r, keys_p):
+    """Both one-roll milestone branches in ONE executable.
+
+    At an interior milestone the recon roll and the prior roll start from
+    the SAME x_t and are data-independent (`main_blending.py:316-325`);
+    running them as two sequential jitted windows leaves the chip idle in
+    each program's gather/scatter latency gaps. One scan whose body holds
+    both denoise chains lets XLA's latency-hiding scheduler interleave
+    them. Key plumbing matches the sequential path bit-for-bit (each
+    branch consumes its own pre-split key array), DDPM only — the DDIM
+    mapping gives the branches unequal window lengths.
+    """
+    sched = pc2.schedulers["ddpm"]
+    b = x.shape[0]
+    denoise_p = pvd.denoise_fn(pvd_params)
+
+    def body(carry, inp):
+        xr, xp = carry
+        t_r, t_p, k_r, k_p = inp
+        eps = pc2.denoise(pc2_params, xr,
+                          jnp.full((b,), t_r, dtype=jnp.int32), camera,
+                          cond_map)
+        xr = sched.step(eps, t_r, xr, k_r)
+        xp = pvd.diffusion.p_sample(
+            denoise_p, xp, jnp.full((b,), t_p, dtype=jnp.int32), k_p,
+            clip_denoised=False)
+        return (xr, xp), None
+
+    (xr, xp), _ = jax.lax.scan(body, (x, x),
+                               (ts_recon, ts_prior, keys_r, keys_p))
+    return xr, xp
+
+
+def fused_branch_rolls(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,
+                       x, camera, cond_map, recon_start: int,
+                       recon_end: int, prior_start: int, prior_end: int,
+                       k_recon: jax.Array, k_prior: jax.Array,
+                       num_inference_steps: int = 1000):
+    """Run the recon window [recon_start, recon_end) and the prior window
+    [prior_start, prior_end) from the same x in one fused program.
+    Equals pc2.interaction_sample + pvd.generate_window called with the
+    same keys. Requires equal window lengths (DDPM schedules)."""
+    sched = pc2.schedulers["ddpm"]
+    timesteps = sched.set_timesteps(num_inference_steps)
+    ts_recon = jnp.asarray(
+        list(timesteps[num_inference_steps - recon_start:
+                       num_inference_steps - recon_end]), jnp.int32)
+    ts_prior = jnp.arange(prior_start - 1, prior_end - 1, -1,
+                          dtype=jnp.int32)
+    steps = len(ts_recon)
+    assert steps == len(ts_prior), (steps, len(ts_prior))
+    keys_r = jax.random.split(k_recon, steps)
+    keys_p = jax.random.split(k_prior, steps)
+    return _jitted_fused_rolls(pc2, pvd, pc2_params, pvd_params, x, camera,
+                               cond_map, ts_recon, ts_prior, keys_r, keys_p)
 
 
 def bdm_blending(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,
@@ -76,12 +137,22 @@ def bdm_blending(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,
             x = recon(x, milestones[i] - roll_step, milestones[i + 1], k_seg)
         else:
             x = recon(x, milestones[i] - roll_step, milestones[i + 1], k_seg)
-            # branch 1: recon one roll-step
-            out_recon = recon(x, milestones[i + 1],
-                              milestones[i + 1] - roll_step, k_r)
-            # branch 2: prior one (prior-)roll-step
-            out_prior = pvd.generate_window(
-                pvd_params, x, prior_milestones[i + 1],
-                prior_milestones[i + 1] - prior_roll_step, k_p)
+            if scheduler == "ddpm":
+                # both branch rolls in one fused executable (equal window
+                # lengths under DDPM); bit-identical key plumbing
+                out_recon, out_prior = fused_branch_rolls(
+                    pc2, pc2_params, pvd, pvd_params, x, batch["camera"],
+                    cond_map, milestones[i + 1],
+                    milestones[i + 1] - roll_step, prior_milestones[i + 1],
+                    prior_milestones[i + 1] - prior_roll_step, k_r, k_p,
+                    num_inference_steps)
+            else:
+                # branch 1: recon one roll-step
+                out_recon = recon(x, milestones[i + 1],
+                                  milestones[i + 1] - roll_step, k_r)
+                # branch 2: prior one (prior-)roll-step
+                out_prior = pvd.generate_window(
+                    pvd_params, x, prior_milestones[i + 1],
+                    prior_milestones[i + 1] - prior_roll_step, k_p)
             x = blend_point_clouds(out_recon, out_prior, k_mix)
     return x

@@ -43,6 +43,7 @@ class BDMMergingModel:
             out_channels=self.pc2.out_channels,
             embed_dim=cfg.point_cloud_model_embed_dim,
             extra_feature_channels=self.pc2.in_channels - 3,
+            dtype=self.pc2.compute_dtype,
             **fusion_kwargs)
         self.schedulers = self.pc2.schedulers
         self.num_train_timesteps = self.pc2.num_train_timesteps
@@ -216,11 +217,21 @@ def bdm_merging(merge_model: BDMMergingModel, merge_params,
             x = recon(x, milestones[i] - roll_step, milestones[i + 1], k_seg)
         else:
             x = recon(x, milestones[i] - roll_step, milestones[i + 1], k_seg)
-            out_recon = recon(x, milestones[i + 1],
-                              milestones[i + 1] - roll_step + 1, k_r)
-            out_prior = pvd.generate_window(
-                pvd_params, x, prior_milestones[i + 1],
-                prior_milestones[i + 1] - prior_roll_step + 1, k_p)
+            if scheduler == "ddpm":
+                from bdm_tpu.samplers.blending import fused_branch_rolls
+                out_recon, out_prior = fused_branch_rolls(
+                    pc2, pc2_params, pvd, pvd_params, x, batch["camera"],
+                    cond_map, milestones[i + 1],
+                    milestones[i + 1] - roll_step + 1,
+                    prior_milestones[i + 1],
+                    prior_milestones[i + 1] - prior_roll_step + 1, k_r, k_p,
+                    num_inference_steps)
+            else:
+                out_recon = recon(x, milestones[i + 1],
+                                  milestones[i + 1] - roll_step + 1, k_r)
+                out_prior = pvd.generate_window(
+                    pvd_params, x, prior_milestones[i + 1],
+                    prior_milestones[i + 1] - prior_roll_step + 1, k_p)
             x = merge_model.nstep_fuse(
                 merge_params, out_prior, out_recon, batch, k_f,
                 timestep=milestones[i + 1] - roll_step, scheduler=scheduler,

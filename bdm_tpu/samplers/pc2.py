@@ -27,6 +27,21 @@ from bdm_tpu.models.feature_model import FeatureModel
 from bdm_tpu.models.pvcnn import PVCNN2
 
 
+def compute_dtype_of(mixed_precision: str):
+    """Map a `run.mixed_precision` string to a compute dtype (None = f32).
+
+    "fp16" maps to bf16: the reference's accelerate default is fp16
+    autocast, but fp16 has no TPU fast path and bf16 needs no loss
+    scaling — same intent, TPU-native realization."""
+    mp = (mixed_precision or "no").lower()
+    if mp in ("no", "none", "fp32", "f32", "float32"):
+        return None
+    if mp in ("bf16", "bfloat16", "fp16", "float16"):
+        return jnp.bfloat16
+    raise ValueError(f"Unknown mixed_precision: {mixed_precision!r} "
+                     "(choices: no, bf16, fp16)")
+
+
 @dataclasses.dataclass(frozen=True)
 class ProjectionConfig:
     """Mirrors `PointCloudProjectionModelConfig` (`config/structured.py:74-98`,
@@ -60,6 +75,13 @@ class ProjectionConfig:
     beta_schedule: str = "linear"
     point_cloud_model: str = "pvcnn"
     point_cloud_model_embed_dim: int = 64
+
+    # mixed precision (`run.mixed_precision`; the reference trains/samples
+    # under fp16 autocast by default — `main.py:44` accelerator). The
+    # TPU-native equivalent is a bf16 compute dtype with f32 parameters,
+    # f32 geometry/softmax/GN-stats and an f32 classifier head. "fp16"
+    # is accepted as an alias for bf16 (fp16 has no TPU fast path).
+    mixed_precision: str = "no"
 
 
 class Conditioning(NamedTuple):
@@ -116,9 +138,11 @@ class PC2Model:
             backbone_kwargs["sa_blocks"] = sa_blocks
         if fp_blocks is not None:
             backbone_kwargs["fp_blocks"] = fp_blocks
+        self.compute_dtype = compute_dtype_of(cfg.mixed_precision)
         common = dict(out_channels=self.out_channels,
                       embed_dim=cfg.point_cloud_model_embed_dim,
-                      extra_feature_channels=in_channels - 3)
+                      extra_feature_channels=in_channels - 3,
+                      dtype=self.compute_dtype)
         if cfg.point_cloud_model == "pvcnn":
             self.backbone = PVCNN2(**common, **backbone_kwargs)
         elif cfg.point_cloud_model == "simple":
@@ -260,6 +284,15 @@ class PC2Model:
             return x_t
         import math as _math
         chunk = _math.gcd(n_steps, 16)
+        if chunk == 1 and n_steps > 1:
+            # a window length coprime with 16 would degenerate to 1-step
+            # scans (hundreds of host dispatches); one full-length scan
+            # costs one extra compile instead
+            chunk = n_steps
+        if chunk != 16 and chunk != n_steps:
+            import logging
+            logging.getLogger(__name__).debug(
+                "window scan: %d steps in chunks of %d", n_steps, chunk)
         keys = jax.random.split(key, n_steps)
         for i in range(0, n_steps, chunk):
             ts = jnp.asarray(timesteps[i:i + chunk], dtype=jnp.int32)
@@ -335,6 +368,11 @@ class PC2Model:
         collects snapshots — the final cloud alone is returned. Replicated
         exactly (a silent no-op)."""
         del return_sample_every_n_steps  # accepted-but-unused, like model.py
+        if scheduler == "pndm":
+            raise ValueError(
+                "pndm carries multistep state across the whole trajectory "
+                "and cannot be windowed; the reference never composes it "
+                "with BDM either. Use scheduler='ddpm' or 'ddim'.")
         sched = self.schedulers[scheduler]
         timesteps = sched.set_timesteps(num_inference_steps)
         window = list(timesteps[num_inference_steps - start_time:

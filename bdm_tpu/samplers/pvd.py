@@ -29,16 +29,19 @@ class PVDModel:
                  beta_end: float = 2e-2, num_timesteps: int = 1000,
                  schedule_type: str = "linear",
                  model_var_type: str = "fixedsmall",
-                 sa_blocks=None, fp_blocks=None):
+                 sa_blocks=None, fp_blocks=None,
+                 mixed_precision: str = "no"):
+        from bdm_tpu.samplers.pc2 import compute_dtype_of
         backbone_kwargs = {}
         if sa_blocks is not None:
             backbone_kwargs["sa_blocks"] = sa_blocks
         if fp_blocks is not None:
             backbone_kwargs["fp_blocks"] = fp_blocks
+        self.compute_dtype = compute_dtype_of(mixed_precision)
         self.backbone = PVCNN2(
             out_channels=3, embed_dim=embed_dim, extra_feature_channels=0,
             use_att=use_att, dropout=dropout, classifier_init_scale=None,
-            **backbone_kwargs)
+            dtype=self.compute_dtype, **backbone_kwargs)
         self.diffusion = GaussianDiffusion(
             pvd_betas(schedule_type, beta_start, beta_end, num_timesteps),
             model_var_type=model_var_type)

@@ -6,9 +6,17 @@ Prints ONE JSON line to stdout:
 Measures the full coupled sampler (PC2 + PVD, DDPM 1000 steps, milestones
 [1000,968,936,872,128,64,32,0], roll 16 — `example_sample_blending.sh`) at
 4096 points with randomly-initialized production-size weights (throughput
-is weight-independent). Baseline: the driver target of one 4096-pt cloud in
-<2 s/chip, i.e. 0.5 clouds/sec (BASELINE.md; the reference publishes no
-wall-clock numbers).
+is weight-independent). Runs under bf16 mixed precision — the production
+configuration (`run.mixed_precision` defaults to bf16, mirroring the
+reference's fp16-autocast default; pass --precision no for f32). Baseline:
+the driver target of one 4096-pt cloud in <2 s/chip, i.e. 0.5 clouds/sec
+(BASELINE.md; the reference publishes no wall-clock numbers).
+
+Extras (stderr): per-executable compile logging (jax_log_compiles), an
+on-device kernel self-check before timing (the Pallas scatter and conv are
+only interpret-tested in CI — a Mosaic lowering regression must fail the
+bench loudly, not publish wrong-but-fast numbers), and an MFU estimate
+from XLA's cost analysis of the compiled window scan.
 
 Robustness: progress goes to stderr; on a failure the bench retries at a
 smaller batch, and it always emits a JSON line (value 0.0 on total failure).
@@ -25,18 +33,104 @@ MILESTONES = [1000, 968, 936, 872, 128, 64, 32, 0]
 ROLL_STEP = 16
 BASELINE_CLOUDS_PER_SEC = 0.5
 
+# bf16 peak TFLOPs per chip by device kind (public spec sheets)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0, "TPU v5": 459.0, "TPU v5p": 459.0,
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v6e": 918.0,
+    "TPU v6 lite": 918.0,
+}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_once(batch_size, points, repeats, quick):
+def kernel_self_check():
+    """Assert the Pallas production kernels against XLA references ON THE
+    REAL BACKEND at production-like shapes (CI covers interpret mode only)."""
     import jax
-    # persistent compile cache: the ~4 big window-scan executables cost
-    # ~40 s each to compile cold; cached reruns skip that entirely
+    import jax.numpy as jnp
+    from bdm_tpu.ops.voxelize import make_voxel_context, \
+        _scatter_sums_with_counts, _use_pallas_scatter
+    if not _use_pallas_scatter():
+        log("self-check: non-TPU backend, Pallas paths inactive — skipped")
+        return
+    from bdm_tpu.ops.pallas.conv3d import conv3d_pallas
+
+    rng = np.random.default_rng(0)
+    b, n, c, r = 2, 4096, 32, 32
+    coords = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    ctx = make_voxel_context(coords, r)
+    sums, counts = _scatter_sums_with_counts(feats, ctx, r ** 3)
+    faug = jnp.concatenate([feats, jnp.ones((b, n, 1))], axis=-1)
+    fs = jnp.take_along_axis(faug, ctx.order[..., None], axis=1)
+    flat = (ctx.ids_sorted + jnp.arange(b)[:, None] * r ** 3).reshape(-1)
+    want = jax.ops.segment_sum(fs.reshape(b * n, c + 1), flat,
+                               num_segments=b * r ** 3,
+                               indices_are_sorted=True
+                               ).reshape(b, r ** 3, c + 1)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(want[..., :c]),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(want[..., c]),
+                               rtol=0, atol=0.5)
+
+    grid = jnp.asarray(
+        rng.standard_normal((2, r, r, r, c)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 3, c, c)) * 0.1)
+                    .astype(np.float32))
+    bias = jnp.zeros((c,), jnp.float32)
+    got = conv3d_pallas(grid, k, bias, r)
+    dn = jax.lax.conv_dimension_numbers(grid.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    ref = jax.lax.conv_general_dilated(
+        grid, k, (1, 1, 1), "SAME", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST) + bias
+    err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
+    scale = float(jnp.abs(ref).max())
+    assert err < 0.05 * scale + 0.05, (err, scale)
+    log(f"self-check passed: scatter == segsum, conv3d max-err "
+        f"{err:.3g} (scale {scale:.3g})")
+
+
+def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
+    """MFU from XLA's cost analysis of ONE compiled denoise step."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        cond_map = pc2.conditioning_map(pc2_params, batch["image"])
+        x = jnp.zeros((batch["image"].shape[0], points, 3), jnp.float32)
+        t = jnp.zeros((x.shape[0],), jnp.int32)
+        fn = jax.jit(lambda p, x, t: pc2.denoise(p, x, t, batch["camera"],
+                                                 cond_map))
+        compiled = fn.lower(pc2_params, x, t).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_TFLOPS.get(kind)
+        achieved = flops / seconds_per_step / 1e12
+        if peak:
+            log(f"MFU: {flops/1e9:.1f} GFLOP/denoise, {achieved:.2f} "
+                f"TFLOP/s achieved vs {peak:.0f} peak ({kind}) = "
+                f"{100*achieved/peak:.1f}%")
+        else:
+            log(f"MFU: {flops/1e9:.1f} GFLOP/denoise, {achieved:.2f} "
+                f"TFLOP/s achieved ({kind}: peak unknown)")
+    except Exception as e:  # diagnostics only — never fail the bench
+        log(f"MFU estimate unavailable: {type(e).__name__}: {e}")
+
+
+def run_once(batch_size, points, repeats, quick, precision):
+    import jax
+    # persistent compile cache: the ~5 big window-scan executables cost
+    # ~10 min each to compile cold through the remote compile helper;
+    # cached reruns skip that entirely
     jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_log_compiles", True)  # per-executable timings
     from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel, \
         bdm_blending
     from __graft_entry__ import _synthetic_batch
@@ -46,17 +140,21 @@ def run_once(batch_size, points, repeats, quick):
         cfg = ProjectionConfig(image_size=16,
                                image_feature_model="identity",
                                raster_point_radius=0.3,
-                               point_cloud_model_embed_dim=8)
+                               point_cloud_model_embed_dim=8,
+                               mixed_precision=precision)
         pc2 = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
-        pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+        pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP,
+                       mixed_precision=precision)
         points, milestones, roll, steps = 64, [8, 6, 2, 0], 2, 8
     else:
-        pc2 = PC2Model()
-        pvd = PVDModel()
+        kernel_self_check()
+        pc2 = PC2Model(ProjectionConfig(mixed_precision=precision))
+        pvd = PVDModel(mixed_precision=precision)
         milestones, roll, steps = MILESTONES, ROLL_STEP, 1000
 
     key = jax.random.PRNGKey(0)
-    log(f"init params (batch={batch_size}, points={points})...")
+    log(f"init params (batch={batch_size}, points={points}, "
+        f"precision={precision})...")
     pc2_params = pc2.init_params(key, num_points=1024)
     pvd_params = pvd.init_params(key, num_points=1024)
 
@@ -78,6 +176,7 @@ def run_once(batch_size, points, repeats, quick):
     out = run(jax.random.PRNGKey(1))
     out.block_until_ready()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+    assert bool(np.isfinite(np.asarray(out)).all()), "non-finite output"
 
     times = []
     for i in range(repeats):
@@ -86,6 +185,12 @@ def run_once(batch_size, points, repeats, quick):
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
+
+    if not quick:
+        # ~1160 denoise evals per run (1000 main-path + coupled rolls)
+        n_evals = (milestones[0] - milestones[-1]) + \
+            2 * roll * (len(milestones) - 3)
+        estimate_mfu(pc2, pc2_params, batch, points, min(times) / n_evals)
     return batch_size / min(times), points, steps
 
 
@@ -95,6 +200,8 @@ def main():
     parser.add_argument("--points", type=int, default=4096)
     parser.add_argument("--repeats", type=int, default=2)
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--precision", default="bf16",
+                        choices=["bf16", "no"])
     args = parser.parse_args()
 
     clouds_per_sec, points, steps = 0.0, args.points, 1000
@@ -102,7 +209,8 @@ def main():
     while batch >= 1:
         try:
             clouds_per_sec, points, steps = run_once(
-                batch, args.points, args.repeats, args.quick)
+                batch, args.points, args.repeats, args.quick,
+                args.precision)
             break
         except Exception as e:
             log(f"bench failed at batch={batch}: {type(e).__name__}: {e}")

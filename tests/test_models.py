@@ -120,3 +120,64 @@ def test_fusion_forward_and_zero_conv_identity(mode):
     top = set(params["params"].keys())
     assert {"pc2_encoder", "pvd_encoder", "decoder", "embedf",
             "proj0", "proj1", "proj2"} <= top
+
+
+def test_bf16_compute_dtype_reaches_activations():
+    """mixed_precision='bf16' must actually narrow the activation stream
+    (VERDICT r2: run.mixed_precision was a silently-dead key)."""
+    from bdm_tpu.samplers.pc2 import compute_dtype_of
+    assert compute_dtype_of("bf16") == jnp.bfloat16
+    assert compute_dtype_of("fp16") == jnp.bfloat16  # TPU-native alias
+    assert compute_dtype_of("no") is None
+    with pytest.raises(ValueError):
+        compute_dtype_of("int8")
+
+    model = PVCNN2(out_channels=3, embed_dim=8, extra_feature_channels=5,
+                   sa_blocks=TINY_SA, fp_blocks=TINY_FP, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out, state = model.apply(params, x, t, capture_intermediates=True)
+    # eps prediction itself stays f32 (classifier head is an f32 island)
+    assert out.dtype == jnp.float32
+    inter = state["intermediates"]
+    flat = jax.tree_util.tree_leaves(inter)
+    dtypes = {jnp.dtype(l.dtype) for l in flat if hasattr(l, "dtype")}
+    assert jnp.dtype(jnp.bfloat16) in dtypes, sorted(map(str, dtypes))
+    # params stay f32
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_bf16_forward_close_to_f32():
+    """Same params, bf16 vs f32 compute: outputs finite and close."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32))
+    t = jnp.asarray([100, 500], jnp.int32)
+    kw = dict(out_channels=3, embed_dim=8, extra_feature_channels=5,
+              sa_blocks=TINY_SA, fp_blocks=TINY_FP,
+              classifier_init_scale=None)
+    m32 = PVCNN2(**kw)
+    m16 = PVCNN2(**kw, dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), x, t)
+    o32 = m32.apply(params, x, t)
+    o16 = m16.apply(params, x, t)
+    assert np.isfinite(np.asarray(o16)).all()
+    scale = np.abs(np.asarray(o32)).max() + 1e-6
+    err = np.abs(np.asarray(o16) - np.asarray(o32)).max() / scale
+    assert err < 0.15, err
+
+
+def test_pc2_mixed_precision_wiring():
+    """ProjectionConfig.mixed_precision flows to the backbone dtype."""
+    from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel
+    from tests.test_models import TINY_FP, TINY_SA
+    cfg = ProjectionConfig(image_size=16, image_feature_model="identity",
+                           point_cloud_model_embed_dim=8,
+                           mixed_precision="bf16")
+    pc2 = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+    assert pc2.backbone.dtype == jnp.bfloat16
+    pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP,
+                   mixed_precision="bf16")
+    assert pvd.backbone.dtype == jnp.bfloat16

@@ -364,3 +364,46 @@ def test_scatter_sum_sorted_pallas_multichunk_clamped(rng):
     np.add.at(want, ids[0], feats[0])
     np.testing.assert_allclose(np.asarray(got)[0], want, rtol=2e-2,
                                atol=2e-2)
+
+
+def test_conv3d_wide_matches_xla_conv(rng):
+    """The matmul-first wide conv == XLA's SAME conv3d (bf16 tolerance)."""
+    from bdm_tpu.ops.conv_wide import conv3d_wide
+    b, r, cin, cout = 2, 4, 7, 5
+    x = rng.standard_normal((b, r, r, r, cin)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1, 1), "SAME",
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST) + bias
+    got = conv3d_wide(jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_conv3d_wide_grad_matches(rng):
+    """conv3d_wide is differentiable and its grad matches the XLA conv's."""
+    from bdm_tpu.ops.conv_wide import conv3d_wide
+    b, r, cin, cout = 1, 3, 6, 4
+    x = rng.standard_normal((b, r, r, r, cin)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    bias = np.zeros((cout,), np.float32)
+    w = rng.standard_normal((b, r, r, r, cout)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+
+    def f_ref(xx):
+        return (jax.lax.conv_general_dilated(
+            xx, jnp.asarray(k), (1, 1, 1), "SAME", dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST) * w).sum()
+
+    def f_wide(xx):
+        return (conv3d_wide(xx, jnp.asarray(k), jnp.asarray(bias)) * w).sum()
+
+    g_ref = jax.grad(f_ref)(jnp.asarray(x))
+    g_wide = jax.grad(f_wide)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_wide), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)

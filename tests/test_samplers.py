@@ -252,3 +252,40 @@ def test_pc2_composed_denoise_golden(pc2, pc2_params):
     np.testing.assert_allclose(eps.mean(), 4.6532568e-07, rtol=1e-3)
     np.testing.assert_allclose(eps.std(), 4.9529367e-06, rtol=1e-3)
     np.testing.assert_allclose(np.abs(eps).sum(), 6.6007231e-04, rtol=1e-3)
+
+
+def test_fused_branch_rolls_match_sequential(pc2, pc2_params, pvd,
+                                             pvd_params):
+    """The fused milestone roll == interaction_sample + generate_window
+    with the same keys (the fused program only reorders independent ops)."""
+    from bdm_tpu.samplers.blending import fused_branch_rolls
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng)
+    x = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    cond_map = pc2.conditioning_map(pc2_params, batch["image"])
+    k_r, k_p = jax.random.split(jax.random.PRNGKey(9))
+    steps, m, roll = 8, 6, 2
+
+    got_r, got_p = fused_branch_rolls(
+        pc2, pc2_params, pvd, pvd_params, x, batch["camera"], cond_map,
+        m, m - roll, m, m - roll, k_r, k_p, num_inference_steps=steps)
+    want_r = pc2.interaction_sample(
+        pc2_params, x, batch, k_r, start_time=m, end_time=m - roll,
+        scheduler="ddpm", num_inference_steps=steps, cond_map=cond_map)
+    want_p = pvd.generate_window(pvd_params, x, m, m - roll, k_p)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_interaction_sample_rejects_pndm(pc2, pc2_params):
+    """PNDM cannot be windowed (multistep state spans the trajectory);
+    the error must be explicit, not a KeyError deep in the scan."""
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng)
+    x = jnp.zeros((B, N, 3), jnp.float32)
+    with pytest.raises(ValueError, match="pndm"):
+        pc2.interaction_sample(pc2_params, x, batch, jax.random.PRNGKey(0),
+                               start_time=8, end_time=4, scheduler="pndm",
+                               num_inference_steps=8)
