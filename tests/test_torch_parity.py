@@ -228,3 +228,144 @@ def test_vit_parity():
     got = vit.apply({"params": params},
                     jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------ composed full-model parity
+
+def _moderate_init(module, seed):
+    """Randomize every parameter at activation-safe scales: conv/linear
+    weights keep their default (fan-in) init scaled by a random factor,
+    norms get off-unit scales — so a layout/wiring error anywhere shows as
+    an O(1) activation diff without exploding through 14 stages."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            if p.ndim <= 1:  # biases, norm scales
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1
+                        + (1.0 if "norm" in name and "weight" in name
+                           or name.endswith("scale") else 0.0))
+            else:
+                fan_in = int(np.prod(p.shape[1:]))
+                p.copy_(torch.randn(p.shape, generator=g)
+                        / np.sqrt(max(fan_in, 1)))
+
+
+def _composed_pvcnn2_case(sa_blocks, fp_blocks, extra, n, seed,
+                          embed_dim=32):
+    from tests.torch_ref import TorchPVCNN2
+    tm = TorchPVCNN2(sa_blocks, fp_blocks, num_classes=3,
+                     embed_dim=embed_dim, extra_feature_channels=extra)
+    _moderate_init(tm, seed)
+    tm.eval()
+
+    sd = {f"X.{k}": v for k, v in _sd(tm).items()}
+    from bdm_tpu.models.pvcnn import PVCNN2
+    from bdm_tpu.utils.convert_torch import (convert_encoder,
+                                             convert_decoder,
+                                             _timestep_mlp)
+    from bdm_tpu.models.pvcnn import build_pvcnn2_specs
+    specs = build_pvcnn2_specs(sa_blocks, fp_blocks,
+                               extra_feature_channels=extra)
+    params = {"params": {
+        "embedf": _timestep_mlp(sd, "X.embedf"),
+        "encoder": convert_encoder(sd, "X", specs),
+        "decoder": convert_decoder(sd, "X", specs),
+    }}
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, n, 3 + extra)).astype(np.float32)
+    x[..., :3] *= 0.5
+    t = np.asarray([517], np.int64)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 2, 1))),
+                  torch.from_numpy(t)).numpy().transpose(0, 2, 1)
+
+    fm = PVCNN2(out_channels=3, embed_dim=embed_dim,
+                extra_feature_channels=extra, sa_blocks=sa_blocks,
+                fp_blocks=fp_blocks, classifier_init_scale=None)
+    got = np.asarray(fm.apply(params, jnp.asarray(x),
+                              jnp.asarray(t.astype(np.int32))))
+    scale = np.abs(want).max() + 1e-8
+    err = np.abs(got - want).max() / scale
+    assert err < 2e-3, (err, scale)
+
+
+def test_composed_pvcnn2_tiny_parity():
+    """Full composed forward (encoder+decoder+heads) vs the torch replica
+    on tiny specs — a wiring error anywhere fails here, not just
+    per-module layout errors."""
+    from tests.test_models import TINY_FP, TINY_SA
+    _composed_pvcnn2_case(TINY_SA, TINY_FP, extra=5, n=64, seed=0)
+
+
+@pytest.mark.slow
+def test_composed_pvcnn2_production_parity():
+    """The reference's complete PVCNN2_PC2 (production block specs,
+    390-channel input — `pvcnn.py:130-142`) vs the torch replica."""
+    from bdm_tpu.models.pvcnn import PVCNN_FP_BLOCKS, PVCNN_SA_BLOCKS
+    _composed_pvcnn2_case(PVCNN_SA_BLOCKS, PVCNN_FP_BLOCKS, extra=387,
+                          n=1024, seed=1, embed_dim=64)
+
+
+def test_composed_fusion_tiny_parity():
+    """Full composed PVCNN_fuse forward (two towers + zero-conv fusion +
+    decoder, `pvcnn_fuse.py:125-237`) vs the torch replica, both modes."""
+    from tests.test_models import TINY_FP, TINY_SA
+    from tests.torch_ref import TorchPVCNNFuse
+    from bdm_tpu.models.fusion import PVCNNFuse
+    from bdm_tpu.utils.convert_torch import convert_fusion_checkpoint
+
+    extra, n, embed_dim = 5, 64, 32
+    tm = TorchPVCNNFuse(TINY_SA, TINY_FP, num_classes=3,
+                        embed_dim=embed_dim, extra_feature_channels=extra)
+    _moderate_init(tm, 3)
+    tm.eval()
+
+    # key layout of the reference fusion state dict
+    sd = {f"fusion_model.model.{k}": v for k, v in _sd(tm).items()}
+    import bdm_tpu.utils.convert_torch as C2
+    pc2_specs = C2.build_pvcnn2_specs(TINY_SA, TINY_FP,
+                                      extra_feature_channels=extra)
+    pvd_specs = C2.build_pvcnn2_specs(TINY_SA, TINY_FP,
+                                      extra_feature_channels=0)
+    prefix = "fusion_model.model"
+    n_projs = len(tm.projs)
+    params = {"params": {
+        "embedf": C2._timestep_mlp(sd, f"{prefix}.embedf"),
+        "decoder": C2.convert_decoder(sd, prefix, pc2_specs,
+                                      fp_key="fusion_decoder_fp_layers"),
+        "pc2_encoder": C2._convert_tower(
+            sd, f"{prefix}.pc2_model_sa_layers",
+            f"{prefix}.pc2_model_global_att", pc2_specs),
+        "pvd_encoder": C2._convert_tower(
+            sd, f"{prefix}.pvd_model_sa_layers",
+            f"{prefix}.pvd_model_global_att", pvd_specs),
+        **{f"proj{i}": {
+            "conv1": C2._dense(sd, f"{prefix}.projs.{i}.0"),
+            "conv2": C2._dense(sd, f"{prefix}.projs.{i}.2"),
+            "zero_conv": C2._dense(sd, f"{prefix}.projs.{i}.3"),
+        } for i in range(n_projs)},
+    }}
+
+    rng = np.random.default_rng(4)
+    x_cond = rng.standard_normal((1, n, 3 + extra)).astype(np.float32)
+    x_cond[..., :3] *= 0.5
+    x_prior = (rng.standard_normal((1, n, 3)) * 0.5).astype(np.float32)
+    t = np.asarray([203], np.int64)
+
+    fm = PVCNNFuse(out_channels=3, embed_dim=embed_dim,
+                   extra_feature_channels=extra, sa_blocks=TINY_SA,
+                   fp_blocks=TINY_FP)
+    for mode in ("fusion_nstep", "fusion_1step"):
+        with torch.no_grad():
+            want = tm(torch.from_numpy(np.transpose(x_cond, (0, 2, 1))),
+                      torch.from_numpy(np.transpose(x_prior, (0, 2, 1))),
+                      torch.from_numpy(t),
+                      mode=mode).numpy().transpose(0, 2, 1)
+        got = np.asarray(fm.apply(params, jnp.asarray(x_cond),
+                                  jnp.asarray(x_prior),
+                                  jnp.asarray(t.astype(np.int32)), mode))
+        scale = np.abs(want).max() + 1e-8
+        err = np.abs(got - want).max() / scale
+        assert err < 2e-3, (mode, err, scale)
