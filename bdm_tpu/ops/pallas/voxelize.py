@@ -114,25 +114,36 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
                               tile_lo: jnp.ndarray, num_segments: int,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              tile_v: int | None = None,
+                              maxp: int | None = None) -> jnp.ndarray:
     """Sorted-range matmul-scatter.
 
     features (B, N, C) SORTED by voxel id; ids (B, N) int32 sorted
     ascending; tile_lo (B, T+1) int32 — first sorted position belonging
     to each voxel tile (tile t covers ids [t*TILE_V, (t+1)*TILE_V)),
     with tile_lo[:, T] == N. Returns per-segment sums (B, num_segments, C).
+
+    tile_v must match the granularity tile_lo was built for (default:
+    the make_voxel_context granularity min(512, num_segments)). maxp is
+    the per-chunk window height: mask-build and dot work scale with it,
+    so smaller values win when per-tile occupancy is far below 1024 —
+    the chunk loop covers clustered tiles either way.
     """
     b, n, c = features.shape
-    tile_v = min(512 if c <= 128 else 128, num_segments)
+    if tile_v is None:
+        tile_v = min(512, num_segments)
     assert num_segments % tile_v == 0, (num_segments, tile_v)
-    # tile_lo was built for a specific tile size; a mismatch (e.g. a future
-    # >=128-channel caller) would silently misindex the ranges
+    # tile_lo was built for a specific tile size; a mismatch silently
+    # misindexes the ranges
     assert tile_lo.shape[1] == num_segments // tile_v + 1, (
         tile_lo.shape, num_segments, tile_v)
-    maxp = min(n, 1024)
+    if maxp is None:
+        maxp = min(n, 1024)
+    maxp = min(maxp, n)
 
     grid = (b, num_segments // tile_v)
     kernel = functools.partial(_scatter_sorted_kernel, tile_v=tile_v,
