@@ -159,17 +159,55 @@ class VoxConv(nn.Module):
     ms for XLA's conv at (8, 32^3, 32); the 390-channel stage-0 conv keeps
     XLA's conv, which wins at that width. Same bf16-input precision as
     XLA's default f32 conv on this MXU.
+
+    Pre-contracted mode (`pre_tap`): the per-point tap values
+    `rest @ W_t[3:]` were computed once per sample by contracting the
+    conditioning map with this conv's tap weights (conv-after-voxelize
+    commutes with the per-point linear map — see
+    `samplers/pc2.py::precontract_taps`). The conv then reduces to the
+    x_t tap contraction + a 27*Cout-channel scatter-mean + a shift-sum —
+    no wide conv per step. `in_channels` must then name the full input
+    width so the parameter tree stays checkpoint-identical.
     """
 
     features: int
     dtype: Any = None
+    in_channels: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: Optional[jnp.ndarray] = None, *,
+                 pre_tap: Optional[jnp.ndarray] = None,
+                 xt: Optional[jnp.ndarray] = None,
+                 vox_ctx=None, resolution: Optional[int] = None
+                 ) -> jnp.ndarray:
+        cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if pre_tap is not None:
+            from bdm_tpu.ops.conv_wide import tap_shift_sum
+            from bdm_tpu.ops.voxelize import _scatter_sums_with_counts, \
+                _use_pallas_scatter
+            f = self.features
+            # x_t taps: (3, 27*Cout), tap-major in (kd, kh, kw) C-order —
+            # the same layout precontract_taps builds for the rest rows
+            wxt = (kernel[..., :3, :].reshape(27, 3, f)
+                   .transpose(1, 0, 2).reshape(3, 27 * f))
+            tap = pre_tap + jnp.matmul(
+                xt.astype(pre_tap.dtype), wxt.astype(pre_tap.dtype))
+            r3 = resolution ** 3
+            sums, counts = _scatter_sums_with_counts(tap, vox_ctx, r3)
+            inv = 1.0 / jnp.maximum(counts, 1.0)
+            if _use_pallas_scatter():
+                # bf16 grid: the shift-sum pass reads 27 * Cout channels
+                # per output element — half-width reads, f32 accumulate
+                sums = sums.astype(jnp.bfloat16)
+            sums = jax.lax.optimization_barrier(
+                sums.reshape((tap.shape[0], resolution, resolution,
+                              resolution, 27 * f)))
+            out = tap_shift_sum(sums, f, inv=inv)
+            return (out + bias.astype(jnp.float32)).astype(
+                self.dtype or jnp.float32)
         r = x.shape[1]
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
         if (_use_pallas_scatter() and cin <= 256 and r >= 2
@@ -212,7 +250,8 @@ class PVConv(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
-                 deterministic: bool = True, vox_ctx=None) -> jnp.ndarray:
+                 deterministic: bool = True, vox_ctx=None,
+                 pre_tap: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # the voxel context (normalize + sort + counts) is feature-free and
         # shared by every PVConv of a stage when provided by the caller
         if vox_ctx is None:
@@ -228,15 +267,26 @@ class PVConv(nn.Module):
             # producing fusion (a standalone cast+pad pass cost 1.7 ms)
             return x.astype(jnp.bfloat16) if on_tpu else x
 
-        g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
-        g = to_vox_dtype(g)
+        if pre_tap is not None:
+            # pre-contracted conditioning: skip the wide voxelize+conv —
+            # scatter the per-point tap values and shift-sum instead
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        in_channels=features.shape[-1], name="vconv0")(
+                None, pre_tap=pre_tap, xt=features[..., :3],
+                vox_ctx=vox_ctx, resolution=self.resolution)
+            g = to_vox_dtype(g)
+        else:
+            g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
+            g = to_vox_dtype(g)
 
-        # fusion breaks: XLA otherwise builds a conv+GN-stats mega-fusion
-        # whose layout runs the R=32 conv+GN ~3.5x slower than the split
-        # kernels (profiled 6.1 ms in-graph vs 1.8 ms isolated); barriers
-        # on the conv boundaries reproduce the isolated compilation
-        g = jax.lax.optimization_barrier(g)
-        g = VoxConv(self.out_channels, dtype=self.dtype, name="vconv0")(g)
+            # fusion breaks: XLA otherwise builds a conv+GN-stats
+            # mega-fusion whose layout runs the R=32 conv+GN ~3.5x slower
+            # than the split kernels (profiled 6.1 ms in-graph vs 1.8 ms
+            # isolated); barriers on the conv boundaries reproduce the
+            # isolated compilation
+            g = jax.lax.optimization_barrier(g)
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        name="vconv0")(g)
         g = jax.lax.optimization_barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm0")(g)
@@ -392,9 +442,12 @@ class PVCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
-                 temb: jnp.ndarray, deterministic: bool = True):
+                 temb: jnp.ndarray, deterministic: bool = True,
+                 pre_tap: Optional[jnp.ndarray] = None):
         """temb: (B, E) per-sample embedding (constant over points; see
-        PointNetSAModule docstring), broadcast at each concat site."""
+        PointNetSAModule docstring), broadcast at each concat site.
+        pre_tap: optional pre-contracted conditioning taps for stage 0's
+        first PVConv (see VoxConv)."""
         coords_list, in_features_list = [], []
         for i, stage in enumerate(self.specs.sa_stages):
             in_features_list.append(features)
@@ -415,8 +468,9 @@ class PVCNNEncoder(nn.Module):
             for p, cs in enumerate(stage.convs):
                 f = PVConv(cs.out_channels, cs.resolution, cs.attention,
                            dropout=self.dropout, dtype=self.dtype,
-                           name=f"sa{i}_conv{p}")(f, coords, deterministic,
-                                                  vox_ctx)
+                           name=f"sa{i}_conv{p}")(
+                    f, coords, deterministic, vox_ctx,
+                    pre_tap=pre_tap if (i == 0 and p == 0) else None)
             sa = stage.sa
             if sa.num_centers is None:
                 f, coords, temb = PointNetAModule(
@@ -514,7 +568,8 @@ class PVCNN2(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, t: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 pre_tap: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         specs = self.specs()
 
         temb = get_timestep_embedding(self.embed_dim, t)
@@ -528,7 +583,8 @@ class PVCNN2(nn.Module):
         feats, ccoords, ctemb, coords_list, skip_list = PVCNNEncoder(
             specs=specs, use_att=self.use_att, dropout=self.dropout,
             dtype=self.dtype, name="encoder")(features, coords, temb,
-                                              deterministic)
+                                              deterministic,
+                                              pre_tap=pre_tap)
         skip_list[0] = inputs[..., 3:]
 
         return PVCNNDecoder(

@@ -238,3 +238,85 @@ def conv3d_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
       c.astype(jnp.float32).reshape(b, 1, cin), gp, gp, gp)
     return out.reshape(b, r, r, r, cout)
+
+
+# ------------------------------------------------- matmul-first variant
+
+def _conv_mm_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
+                    h, w):
+    """Per (batch, D-slice): dot each input slab with ALL of its dz's tap
+    weights at once — (HW, Cin) @ (Cin, 9*Cout) — then accumulate the 9
+    (dy, dx) blocks with static row-rolls and border masks. The im2col
+    kernel builds a (HW, 9*Cin) col matrix first, which is copy-bound at
+    wide Cin (27 shifted copies of the slab); here the only shifted
+    copies are Cout-wide."""
+    hw = h * w
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+
+    acc = jnp.zeros((hw, cout), jnp.float32)
+    for dz, src in enumerate((lo_ref, mid_ref, hi_ref)):
+        slab = src[0, 0].astype(jnp.bfloat16)               # (HW, Cin)
+        m = jnp.dot(slab, w_ref[dz],
+                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                blk = m[:, j * cout:(j + 1) * cout]
+                s = dy * w + dx
+                if s:
+                    k = s % hw
+                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
+                ok = ((ys + dy >= 0) & (ys + dy < h)
+                      & (xs + dx >= 0) & (xs + dx < w))
+                acc = acc + jnp.where(ok, blk, 0.0)
+                j += 1
+    out_ref[0, 0] = (acc + b_ref[0, :]).astype(out_dt)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def conv3d_mm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
+                     bias: jnp.ndarray, resolution: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Matmul-first 3x3x3 SAME conv (see _conv_mm_kernel). Same contract
+    as conv3d_pallas."""
+    b, r, _, _, cin = grid.shape
+    assert r == resolution
+    cout = weights.shape[-1]
+    hw = r * r
+    out_dt = grid.dtype
+
+    gp = jnp.pad(grid.reshape(b, r, hw, cin),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # (3, Cin, 9*Cout): per-dz blocks, (dy, dx)-major along the out axis
+    wm = (weights.astype(jnp.bfloat16)
+          .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
+          .reshape(3, cin, 9 * cout))
+    bm = bias.astype(jnp.float32).reshape(1, cout)
+
+    def slice_spec(off):
+        return pl.BlockSpec((1, 1, hw, cin),
+                            lambda bi, d, _o=off: (bi, d + _o, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_mm_kernel, h=r, w=r),
+        grid=(b, r),
+        in_specs=[
+            pl.BlockSpec((3, cin, 9 * cout), lambda bi, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            slice_spec(0), slice_spec(1), slice_spec(2),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hw, cout),
+                               lambda bi, d: (bi, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        interpret=interpret,
+    )(wm, bm, gp, gp, gp)
+    return out.reshape(b, r, r, r, cout)

@@ -81,16 +81,20 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
     ride as (N, 1) so the dynamic chunk slice lands on the SUBLANE dim
     (Mosaic rejects dynamic lane-dim offsets), and the contraction runs
     as dot_general over dim 0 of the (MAXP, TILE_V) mask — no transposes
-    materialize."""
+    materialize. Wide features are processed in 128-lane groups (a
+    dynamic sublane slice of a >128-lane block crashes the Mosaic
+    toolchain outright); the mask is built once per chunk and shared."""
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     n = ids_ref.shape[1]
+    c = feats_ref.shape[-1]
     base = t_idx * tile_v
     vox_row = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_v), 1)
+    groups = [(g, min(g + 128, c)) for g in range(0, c, 128)]
 
     start = lo_ref[b_idx, t_idx]
     end = lo_ref[b_idx, t_idx + 1]
-    acc = jnp.zeros((tile_v, out_ref.shape[-1]), jnp.float32)
+    acc = jnp.zeros((tile_v, c), jnp.float32)
     n_chunks = (n + maxp - 1) // maxp
     for k in range(n_chunks):
         s = start + k * maxp
@@ -105,10 +109,15 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
             # and double-count them (s >= start always, so this is tighter)
             valid = (pos >= s) & (pos < end)
             mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
-            f = feats_ref[0, pl.ds(s_c, maxp), :].astype(jnp.bfloat16)
-            return a + jax.lax.dot_general(
-                mask, f, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (TILE_V, C)
+            parts = []
+            for g0, g1 in groups:
+                f = feats_ref[0, pl.ds(s_c, maxp), g0:g1].astype(
+                    jnp.bfloat16)
+                parts.append(jax.lax.dot_general(
+                    mask, f, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # (TILE_V, g)
+            return a + (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1))
 
         acc = jax.lax.cond(s < end, body, lambda a: a, acc)
     out_ref[0] = acc

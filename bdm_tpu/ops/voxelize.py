@@ -333,6 +333,12 @@ def _trilinear_devoxelize_window(grid: jnp.ndarray,
     wz = axis_w(frac[..., 2], off[..., 2])
     w = (wx[..., :, None, None] * wy[..., None, :, None]
          * wz[..., None, None, :])                  # (B, N, 2, 2, 2)
+    if grid.dtype == jnp.bfloat16:
+        # bf16 grids (mixed precision): keep the weighted sum in bf16 —
+        # a HIGHEST-precision einsum forces f32 converts of every
+        # gathered window (profiled ~0.33 ms per PVConv)
+        return jnp.einsum("bnxyz,bnxyzc->bnc", w.astype(jnp.bfloat16),
+                          win)
     return jnp.einsum("bnxyz,bnxyzc->bnc", w, win,
                       precision=jax.lax.Precision.HIGHEST)
 

@@ -122,6 +122,7 @@ def bdm_blending(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,
     cond_map = pc2.conditioning_map(
         pc2_params, batch["image"], batch.get("mask"),
         batch.get("distance_transform"))
+    cond_map = pc2.maybe_precontract(pc2_params, cond_map)
 
     def recon(x, start, end, k):
         return pc2.interaction_sample(

@@ -202,12 +202,15 @@ def bdm_merging(merge_model: BDMMergingModel, merge_params,
     cond_map = pc2.conditioning_map(
         pc2_params, batch["image"], batch.get("mask"),
         batch.get("distance_transform"))
+    # pc2 windows use the pre-contracted fast path; the fusion net's
+    # x_t_input needs the RAW map
+    cond_pc2 = pc2.maybe_precontract(pc2_params, cond_map)
 
     def recon(x, start, end, k):
         return pc2.interaction_sample(
             pc2_params, x, batch, k, start_time=start, end_time=end,
             scheduler=scheduler, num_inference_steps=num_inference_steps,
-            cond_map=cond_map)
+            cond_map=cond_pc2)
 
     for i in range(times):
         k_seg, k_r, k_p, k_f, key = jax.random.split(key, 5)
@@ -221,7 +224,7 @@ def bdm_merging(merge_model: BDMMergingModel, merge_params,
                 from bdm_tpu.samplers.blending import fused_branch_rolls
                 out_recon, out_prior = fused_branch_rolls(
                     pc2, pc2_params, pvd, pvd_params, x, batch["camera"],
-                    cond_map, milestones[i + 1],
+                    cond_pc2, milestones[i + 1],
                     milestones[i + 1] - roll_step + 1,
                     prior_milestones[i + 1],
                     prior_milestones[i + 1] - prior_roll_step + 1, k_r, k_p,
@@ -232,6 +235,7 @@ def bdm_merging(merge_model: BDMMergingModel, merge_params,
                 out_prior = pvd.generate_window(
                     pvd_params, x, prior_milestones[i + 1],
                     prior_milestones[i + 1] - prior_roll_step + 1, k_p)
+
             x = merge_model.nstep_fuse(
                 merge_params, out_prior, out_recon, batch, k_f,
                 timestep=milestones[i + 1] - roll_step, scheduler=scheduler,

@@ -83,6 +83,28 @@ class ProjectionConfig:
     # is accepted as an alias for bf16 (fp16 has no TPU fast path).
     mixed_precision: str = "no"
 
+    # Pre-contract the conditioning map with the stage-0 conv's tap
+    # weights once per sample (bdm_tpu extension, exact up to float
+    # reassociation): the surface projection is linear in the map and the
+    # scatter-mean + conv-tap reduction is linear per point, so the
+    # per-step 390-wide voxelize+conv collapses to a tap scatter + shift
+    # sum. Applies to pvcnn sampling paths; training keeps the reference
+    # data flow.
+    precontract: bool = True
+
+
+class PrecontractedCond(NamedTuple):
+    """Per-sample pre-contracted conditioning (see
+    ProjectionConfig.precontract). `comb_map` is
+    [local conditioning | stage-0 conv tap contraction] per pixel, so ONE
+    projection gather per step serves both the network input and the
+    voxel-branch taps; `gtap` / `gfeats` carry the (per-point constant)
+    global-feature contribution when use_global_features is on."""
+
+    comb_map: jnp.ndarray                     # (B, H, W, L + 27*Cout0)
+    gtap: Optional[jnp.ndarray]               # (B, 27*Cout0) or None
+    gfeats: Optional[jnp.ndarray]             # (B, G) or None
+
 
 class Conditioning(NamedTuple):
     """Image conditioning, computed once per image. `local_map` is the
@@ -159,6 +181,15 @@ class PC2Model:
             for name in ("ddpm", "ddim", "pndm")
         }
         self.num_train_timesteps = self.schedulers["ddpm"].num_train_timesteps
+        # width of the PROJECTED (local) conditioning channels in x_in:
+        # [x_t(3) | local(L) | global(G)]
+        self.local_cond_channels = self.in_channels - 3 - (
+            self.feature_model.feature_dim if cfg.use_global_features
+            else 0)
+        self.precontract_enabled = (
+            cfg.precontract and cfg.point_cloud_model == "pvcnn"
+            and cfg.predict_shape and not cfg.predict_color
+            and not cfg.process_color)
 
     # ------------------------------------------------------------------ init
     def init_params(self, key: jax.Array, num_points: int = 128
@@ -218,11 +249,86 @@ class PC2Model:
             return Conditioning(local, gfeats)
         return local
 
+    # ------------------------------------------------------ precontraction
+    def maybe_precontract(self, params, cond_map):
+        """Wrap a conditioning map into a PrecontractedCond when the
+        fast sampling path applies (no-op otherwise)."""
+        if not self.precontract_enabled or isinstance(
+                cond_map, PrecontractedCond):
+            return cond_map
+        specs = self.backbone.specs()
+        if not specs.sa_stages or not specs.sa_stages[0].convs:
+            return cond_map
+        return self.precontract_cond(params, cond_map)
+
+    def precontract_cond(self, params, cond_map) -> PrecontractedCond:
+        """Contract the conditioning map with the stage-0 first conv's
+        tap weights (rows 3:3+L of each of the 27 taps), once per sample.
+
+        Exactness: surface projection is linear in the map (a weighted
+        gather), scatter-mean is linear per point with a feature-free
+        count, and the conv is a per-tap linear map — so
+        conv(voxelize([x_t | proj(C)])) ==
+        shift_sum(voxelize(x_t @ W_xt + proj(C @ W))) up to float
+        reassociation. The contraction runs in HIGHEST precision since it
+        is amortized over the whole trajectory."""
+        if isinstance(cond_map, Conditioning):
+            local_map, gfeats = cond_map.local_map, cond_map.global_feats
+        else:
+            local_map, gfeats = cond_map, None
+        k = params["point_cloud_model"]["params"]["encoder"][
+            "sa0_conv0"]["vconv0"]["kernel"]          # (3,3,3,Cin,Cout)
+        cin, cout = k.shape[3], k.shape[4]
+        length = local_map.shape[-1]
+        wt = k.reshape(27, cin, cout)
+        # tap-major (kd, kh, kw) C-order along the 27*Cout axis — the
+        # layout VoxConv's x_t contraction and tap_shift_sum consume
+        w_local = wt[:, 3:3 + length].transpose(1, 0, 2).reshape(
+            length, 27 * cout)
+        d_tap = jnp.einsum("bhwl,lt->bhwt", local_map, w_local,
+                           precision=jax.lax.Precision.HIGHEST)
+        store_dt = self.compute_dtype or jnp.float32
+        comb = jnp.concatenate(
+            [local_map.astype(store_dt), d_tap.astype(store_dt)], axis=-1)
+        gtap = None
+        if gfeats is not None:
+            w_g = wt[:, 3 + length:].transpose(1, 0, 2).reshape(
+                -1, 27 * cout)
+            gtap = jnp.matmul(gfeats, w_g,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(store_dt)
+            gfeats = gfeats.astype(store_dt)
+        return PrecontractedCond(comb, gtap, gfeats)
+
+    def _precontracted_input(self, x_t, camera, pre: PrecontractedCond):
+        """-> (x_in (B,N,3+L[+G]), pre_tap (B,N,27*Cout0)): one combined
+        projection gather serves the network input AND the voxel taps."""
+        proj = surface_projection(
+            x_t[..., :3], camera, pre.comb_map,
+            radius=self.cfg.raster_point_radius,
+            scale_factor=self.cfg.scale_factor,
+            splat=self.cfg.raster_splat)
+        length = self.local_cond_channels
+        local, tap = proj[..., :length], proj[..., length:]
+        if pre.gtap is not None:
+            tap = tap + pre.gtap[:, None, :]
+        parts = [x_t, local.astype(jnp.float32)]
+        if pre.gfeats is not None:
+            n = x_t.shape[1]
+            parts.append(jnp.broadcast_to(
+                pre.gfeats[:, None, :].astype(jnp.float32),
+                (x_t.shape[0], n, pre.gfeats.shape[-1])))
+        return jnp.concatenate(parts, axis=-1), tap
+
     def x_t_input(self, x_t: jnp.ndarray, camera: PerspectiveCamera,
                   cond_map) -> jnp.ndarray:
         """Concat [x_t | projected local features | global features] per
         `get_input_with_conditioning` (`projection_model.py:179-231`).
         `cond_map` is either the bare local map or a `Conditioning`."""
+        if isinstance(cond_map, PrecontractedCond):
+            raise TypeError(
+                "x_t_input needs the raw conditioning map; a "
+                "PrecontractedCond only serves PC2Model.denoise")
         if isinstance(cond_map, Conditioning):
             local_map, gfeats = cond_map.local_map, cond_map.global_feats
         else:
@@ -241,7 +347,14 @@ class PC2Model:
 
     def denoise(self, params, x_t, t, camera, cond_map,
                 deterministic: bool = True, rngs=None) -> jnp.ndarray:
-        """One eps prediction. t: (B,) int32."""
+        """One eps prediction. t: (B,) int32. `cond_map` may be the raw
+        per-pixel map, a Conditioning, or a PrecontractedCond (fast
+        sampling path)."""
+        if isinstance(cond_map, PrecontractedCond):
+            x_in, tap = self._precontracted_input(x_t, camera, cond_map)
+            return self.backbone.apply(
+                params["point_cloud_model"], x_in, t,
+                deterministic=deterministic, rngs=rngs, pre_tap=tap)
         x_in = self.x_t_input(x_t, camera, cond_map)
         return self.backbone.apply(params["point_cloud_model"], x_in, t,
                                    deterministic=deterministic, rngs=rngs)
@@ -319,6 +432,7 @@ class PC2Model:
         cond_map = self.conditioning_map(
             params, batch["image"], batch.get("mask"),
             batch.get("distance_transform"))
+        cond_map = self.maybe_precontract(params, cond_map)
         if scheduler == "pndm":
             # PNDM carries multistep state across the whole trajectory, so
             # it only supports the full reverse loop (the reference never
@@ -381,6 +495,7 @@ class PC2Model:
             cond_map = self.conditioning_map(
                 params, batch["image"], batch.get("mask"),
                 batch.get("distance_transform"))
+        cond_map = self.maybe_precontract(params, cond_map)
         return self._window_scan(params, x_t, batch["camera"], cond_map,
                                  window, sched, key, eta,
                                  scheduler_name=scheduler)

@@ -103,8 +103,10 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
         t = jnp.zeros((x.shape[0],), jnp.int32)
         fn = jax.jit(lambda p, x, t: pc2.denoise(p, x, t, batch["camera"],
                                                  cond_map))
-        compiled = fn.lower(pc2_params, x, t).compile()
-        ca = compiled.cost_analysis()
+        # client-side analysis of the lowered HLO: compiling the module
+        # just for cost analysis trips the remote compile helper's size
+        # limit (HTTP 413) under the axon tunnel
+        ca = fn.lower(pc2_params, x, t).cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))

@@ -407,3 +407,22 @@ def test_conv3d_wide_grad_matches(rng):
     g_wide = jax.grad(f_wide)(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g_wide), np.asarray(g_ref),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_conv3d_mm_pallas_interpret_matches_xla(rng):
+    """Matmul-first Pallas conv (interpret) == XLA SAME conv."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_mm_pallas
+    b, r, cin, cout = 2, 4, 7, 5
+    x = rng.standard_normal((b, r, r, r, cin)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1, 1), "SAME",
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST) + bias
+    got = conv3d_mm_pallas(jnp.asarray(x), jnp.asarray(k),
+                           jnp.asarray(bias), r, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)

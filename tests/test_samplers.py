@@ -289,3 +289,45 @@ def test_interaction_sample_rejects_pndm(pc2, pc2_params):
         pc2.interaction_sample(pc2_params, x, batch, jax.random.PRNGKey(0),
                                start_time=8, end_time=4, scheduler="pndm",
                                num_inference_steps=8)
+
+
+def test_precontracted_denoise_matches_normal(pc2, pc2_params):
+    """The pre-contracted conditioning fast path == the reference data
+    flow (projection linearity + scatter/conv commutation), f32, CPU."""
+    from bdm_tpu.samplers.pc2 import PrecontractedCond
+    rng = np.random.default_rng(11)
+    batch = tiny_batch(rng)
+    x_t = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32)
+                      * 0.5)
+    t = jnp.asarray([3, 11], jnp.int32)
+    cond = pc2.conditioning_map(pc2_params, batch["image"])
+    want = pc2.denoise(pc2_params, x_t, t, batch["camera"], cond)
+    pre = pc2.precontract_cond(pc2_params, cond)
+    assert isinstance(pre, PrecontractedCond)
+    got = pc2.denoise(pc2_params, x_t, t, batch["camera"], pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_precontracted_global_features_denoise():
+    """Precontraction with use_global_features: the constant global rows
+    contribute through gtap; still equal to the normal path."""
+    from bdm_tpu.samplers import PC2Model, ProjectionConfig
+    cfg = ProjectionConfig(image_size=S, image_feature_model="identity",
+                           raster_point_radius=0.3,
+                           point_cloud_model_embed_dim=8,
+                           use_global_features=True)
+    m = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
+    params = m.init_params(jax.random.PRNGKey(5), num_points=N)
+    rng = np.random.default_rng(12)
+    batch = tiny_batch(rng)
+    x_t = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32)
+                      * 0.5)
+    t = jnp.asarray([7, 2], jnp.int32)
+    cond = m.conditioning_map(params, batch["image"])
+    want = m.denoise(params, x_t, t, batch["camera"], cond)
+    pre = m.precontract_cond(params, cond)
+    assert pre.gtap is not None
+    got = m.denoise(params, x_t, t, batch["camera"], pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
