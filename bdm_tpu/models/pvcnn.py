@@ -186,8 +186,7 @@ class VoxConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if pre_tap is not None:
             from bdm_tpu.ops.conv_wide import tap_shift_sum
-            from bdm_tpu.ops.voxelize import _scatter_sums_with_counts, \
-                _use_pallas_scatter
+            from bdm_tpu.ops.voxelize import scatter_mean_contributions
             f = self.features
             # x_t taps: (3, 27*Cout), tap-major in (kd, kh, kw) C-order —
             # the same layout precontract_taps builds for the rest rows
@@ -196,16 +195,12 @@ class VoxConv(nn.Module):
             tap = pre_tap + jnp.matmul(
                 xt.astype(pre_tap.dtype), wxt.astype(pre_tap.dtype))
             r3 = resolution ** 3
-            sums, counts = _scatter_sums_with_counts(tap, vox_ctx, r3)
-            inv = 1.0 / jnp.maximum(counts, 1.0)
-            if _use_pallas_scatter():
-                # bf16 grid: the shift-sum pass reads 27 * Cout channels
-                # per output element — half-width reads, f32 accumulate
-                sums = sums.astype(jnp.bfloat16)
-            sums = jax.lax.optimization_barrier(
-                sums.reshape((tap.shape[0], resolution, resolution,
-                              resolution, 27 * f)))
-            out = tap_shift_sum(sums, f, inv=inv)
+            # pre-divided scatter (counts via sorted-run lengths): the
+            # grid is already the MEAN contribution, so the only grid
+            # pass is the pure 27-tap shift-sum
+            grid = scatter_mean_contributions(tap, vox_ctx, r3).reshape(
+                (tap.shape[0],) + (resolution,) * 3 + (27 * f,))
+            out = tap_shift_sum(grid, f)
             return (out + bias.astype(jnp.float32)).astype(
                 self.dtype or jnp.float32)
         r = x.shape[1]

@@ -128,8 +128,57 @@ def avg_voxelize_ctx(features: jnp.ndarray, ctx: VoxelContext,
     return _avg_voxelize_ctx_fwd_impl(features, ctx, resolution)
 
 
+def scatter_mean_contributions(features: jnp.ndarray, ctx: VoxelContext,
+                               r3: int) -> jnp.ndarray:
+    """Scatter-MEAN without a count channel or a grid-side division:
+    each point's features are pre-divided by its voxel's occupancy, which
+    falls out of the SORTED ids as run lengths (two O(B*N) scans — no
+    scatter, no gather):
+
+        run_start[p] = cummax(first_of_run ? p : -1)
+        run_end[p]   = reverse-cummin(last_of_run ? p+1 : N)
+        count[p]     = run_end - run_start
+
+    Returns (B, R^3, C) == avg_voxelize's mean grid (empty voxels zero).
+    Consumers that shift/reduce the grid (the pre-contracted stage-0 tap
+    sum) need no per-voxel division pass — the XLA grid-side division
+    kept baiting layout assignment into 7 ms whole-grid transposes."""
+    b, n, c = features.shape
+    f_sorted = jnp.take_along_axis(features, ctx.order[..., None], axis=1)
+    ids = ctx.ids_sorted
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
+    last = jnp.concatenate(
+        [ids[:, :-1] != ids[:, 1:], jnp.ones((b, 1), bool)], axis=1)
+    run_start = jax.lax.cummax(jnp.where(first, idx, -1), axis=1)
+    run_end = jax.lax.cummin(jnp.where(last, idx + 1, n), axis=1,
+                             reverse=True)
+    cnt = (run_end - run_start).astype(jnp.float32)      # (B, N) >= 1
+    fm = f_sorted.astype(jnp.float32) / cnt[..., None]
+    flat_ids = (ids.astype(jnp.int32)
+                + jnp.arange(b, dtype=jnp.int32)[:, None] * r3).reshape(-1)
+    return jax.ops.segment_sum(
+        fm.reshape(b * n, c), flat_ids, num_segments=b * r3,
+        indices_are_sorted=True).reshape(b, r3, c)
+
+
+def scatter_sums_raw(features, ctx, r3):
+    """One scatter of [features | 1] -> the RAW (B, R^3, C+1) array with
+    the count in the last channel — for consumers that fuse the count
+    division themselves (a [..., :C] slice of the wide scatter output
+    materializes a full copy: profiled 2.1 ms at C=864)."""
+    return _scatter_augmented(features, ctx, r3)
+
+
 def _scatter_sums_with_counts(features, ctx, r3):
     """One scatter of [features | 1] -> (sums (B, R^3, C), counts)."""
+    c = features.shape[-1]
+    out = _scatter_augmented(features, ctx, r3)
+    return out[..., :c], out[..., c]
+
+
+def _scatter_augmented(features, ctx, r3):
     ids = ctx.ids  # noqa: F841  (wide-channel path uses sorted ids)
     b, n, c = features.shape
     faug = jnp.concatenate(
@@ -156,7 +205,7 @@ def _scatter_sums_with_counts(features, ctx, r3):
             f_sorted.reshape(b * n, c + 1).astype(jnp.float32), flat_ids,
             num_segments=b * r3,
             indices_are_sorted=True).reshape(b, r3, c + 1)
-    return out[..., :c], out[..., c]
+    return out
 
 
 def _avg_voxelize_ctx_fwd_impl(features, ctx, resolution):
