@@ -213,11 +213,14 @@ class VoxConv(nn.Module):
             return conv3d(x, kernel, bias, r)
         if (_use_pallas_scatter() and cin > 256 and r >= 2
                 and x.shape[1:4] == (r, r, r)):
-            # wide inputs (the 390-ch stage-0 conv): matmul-first
-            # formulation — XLA's conv runs tap-blocked from HBM here
-            # (4.8 ms) and im2col is col-build-bound at this width
-            from bdm_tpu.ops.conv_wide import conv3d_wide
-            return conv3d_wide(x, kernel, bias)
+            # wide inputs (the 390-ch stage-0 conv): matmul-first Pallas
+            # kernel — XLA's conv runs tap-blocked from HBM here
+            # (4.8 ms), im2col is col-build-bound at this width, and the
+            # XLA-level matmul+shift-sum keeps getting pattern-matched
+            # into layout-hostile convolution fusions (measured 4.3 vs
+            # 6.6 ms)
+            from bdm_tpu.ops.pallas.conv3d import conv3d_mm
+            return conv3d_mm(x, kernel, bias, r)
         dt = self.dtype or x.dtype
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))

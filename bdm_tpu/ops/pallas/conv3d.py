@@ -281,9 +281,12 @@ def _conv_mm_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def conv3d_mm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                      bias: jnp.ndarray, resolution: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool | None = None) -> jnp.ndarray:
     """Matmul-first 3x3x3 SAME conv (see _conv_mm_kernel). Same contract
-    as conv3d_pallas."""
+    as conv3d_pallas. interpret=None auto-selects the Pallas interpreter
+    off-TPU so the differentiable wrapper is testable on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, r, _, _, cin = grid.shape
     assert r == resolution
     cout = weights.shape[-1]
@@ -320,3 +323,19 @@ def conv3d_mm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
         interpret=interpret,
     )(wm, bm, gp, gp, gp)
     return out.reshape(b, r, r, r, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_mm(grid: jnp.ndarray, weights: jnp.ndarray, bias: jnp.ndarray,
+              resolution: int) -> jnp.ndarray:
+    """Differentiable matmul-first conv (wide-Cin path): Pallas forward,
+    XLA-conv backward — same contract as conv3d."""
+    return conv3d_mm_pallas(grid, weights, bias, resolution)
+
+
+def _conv3d_mm_fwd(grid, weights, bias, resolution):
+    return conv3d_mm_pallas(grid, weights, bias, resolution), (grid,
+                                                               weights)
+
+
+conv3d_mm.defvjp(_conv3d_mm_fwd, _conv3d_bwd)

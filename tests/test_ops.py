@@ -426,3 +426,32 @@ def test_conv3d_mm_pallas_interpret_matches_xla(rng):
                            jnp.asarray(bias), r, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_conv3d_mm_grad_matches(rng):
+    """conv3d_mm (custom-vjp wrapper) gradient == the XLA conv's.
+
+    On CPU the forward auto-selects the Pallas interpreter, so this
+    exercises the production vjp wiring (fwd residuals + _conv3d_bwd)."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_mm
+    b, r, cin, cout = 1, 3, 6, 4
+    x = rng.standard_normal((b, r, r, r, cin)).astype(np.float32)
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    bias = np.zeros((cout,), np.float32)
+    w = rng.standard_normal((b, r, r, r, cout)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+
+    def f_ref(xx, kk):
+        return (jax.lax.conv_general_dilated(
+            xx, kk, (1, 1, 1), "SAME", dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST) * w).sum()
+
+    def f_mm(xx, kk):
+        return (conv3d_mm(xx, kk, jnp.asarray(bias), r) * w).sum()
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(k))
+    g_mm = jax.grad(f_mm, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(k))
+    for a, b_ in zip(g_mm, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-2, atol=5e-2)
