@@ -89,8 +89,13 @@ class ProjectionConfig:
     # scatter-mean + conv-tap reduction is linear per point, so the
     # per-step 390-wide voxelize+conv collapses to a tap scatter + shift
     # sum. Applies to pvcnn sampling paths; training keeps the reference
-    # data flow.
-    precontract: bool = True
+    # data flow. Default OFF: the r3 TPU A/B measured the tap-scatter
+    # consumer chain at 42.4 ms/step vs 39.0 for the direct
+    # segsum + Pallas matmul-first conv (XLA layout copies on the wide
+    # (B,R,R,R,27*C0) grid eat the algebraic saving — see
+    # ops/pallas/conv3d.py and the memory notes); kept as an option
+    # because the balance may flip on other chip generations.
+    precontract: bool = False
 
 
 class PrecontractedCond(NamedTuple):

@@ -131,7 +131,7 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
 
 
 def run_once(batch_size, points, repeats, quick, precision,
-             precontract=True):
+             precontract=False):
     import jax
     # persistent compile cache: the ~5 big window-scan executables cost
     # ~10 min each to compile cold through the remote compile helper;
@@ -213,7 +213,8 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--precision", default="bf16",
                         choices=["bf16", "no"])
-    parser.add_argument("--no-precontract", action="store_true")
+    parser.add_argument("--precontract", action="store_true",
+                        help="tap-precontraction path (lost the r3 A/B; kept for chips where the balance may flip)")
     args = parser.parse_args()
 
     clouds_per_sec, points, steps = 0.0, args.points, 1000
@@ -222,7 +223,7 @@ def main():
         try:
             clouds_per_sec, points, steps = run_once(
                 batch, args.points, args.repeats, args.quick,
-                args.precision, not args.no_precontract)
+                args.precision, args.precontract)
             break
         except Exception as e:
             log(f"bench failed at batch={batch}: {type(e).__name__}: {e}")
