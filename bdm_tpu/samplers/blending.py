@@ -90,8 +90,13 @@ def fused_branch_rolls(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,
     assert steps == len(ts_prior), (steps, len(ts_prior))
     keys_r = jax.random.split(k_recon, steps)
     keys_p = jax.random.split(k_prior, steps)
-    return _jitted_fused_rolls(pc2, pvd, pc2_params, pvd_params, x, camera,
-                               cond_map, ts_recon, ts_prior, keys_r, keys_p)
+    from bdm_tpu.utils.aot_cache import aot_call
+    return aot_call(
+        _jitted_fused_rolls, (pc2, pvd),
+        (pc2_params, pvd_params, x, camera, cond_map, ts_recon, ts_prior,
+         keys_r, keys_p),
+        tag="bdm-fused-rolls",
+        static_key=f"{pc2.aot_static_key()}&{pvd.aot_static_key()}")
 
 
 def bdm_blending(pc2: PC2Model, pc2_params, pvd: PVDModel, pvd_params,

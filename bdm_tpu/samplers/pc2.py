@@ -196,6 +196,11 @@ class PC2Model:
             and cfg.predict_shape and not cfg.predict_color
             and not cfg.process_color)
 
+    def aot_static_key(self) -> str:
+        """Stable description of everything static that shapes the traced
+        graph (see utils/aot_cache.py)."""
+        return f"pc2|{self.cfg!r}|{self._sa_blocks!r}|{self._fp_blocks!r}"
+
     # ------------------------------------------------------------------ init
     def init_params(self, key: jax.Array, num_points: int = 128
                     ) -> Dict[str, Any]:
@@ -412,12 +417,16 @@ class PC2Model:
             logging.getLogger(__name__).debug(
                 "window scan: %d steps in chunks of %d", n_steps, chunk)
         keys = jax.random.split(key, n_steps)
+        from bdm_tpu.utils.aot_cache import aot_call
+        skey = (f"{self.aot_static_key()}|{scheduler_name}|{eta}|"
+                f"{scheduler.step_ratio}")
         for i in range(0, n_steps, chunk):
             ts = jnp.asarray(timesteps[i:i + chunk], dtype=jnp.int32)
-            x_t = _jitted_window_scan(self, scheduler_name, float(eta),
-                                      scheduler.step_ratio, params, x_t,
-                                      camera, cond_map, ts,
-                                      keys[i:i + chunk])
+            x_t = aot_call(
+                _jitted_window_scan,
+                (self, scheduler_name, float(eta), scheduler.step_ratio),
+                (params, x_t, camera, cond_map, ts, keys[i:i + chunk]),
+                tag="pc2-window", static_key=skey)
         return x_t
 
     def sample(self, params, batch: Dict[str, Any], key: jax.Array,

@@ -50,6 +50,20 @@ class PVDModel:
         return self.backbone.init(key, jnp.zeros((1, num_points, 3)),
                                   jnp.zeros((1,), jnp.int32))
 
+    def aot_static_key(self) -> str:
+        """Stable static-graph description (see utils/aot_cache.py). The
+        beta tables are trace-time constants, so they are part of the key
+        (hashed)."""
+        import hashlib
+        import numpy as _np
+        bh = hashlib.sha256(
+            _np.asarray(self.diffusion.betas, _np.float64).tobytes()
+        ).hexdigest()[:12]
+        return (f"pvd|{self.backbone.embed_dim}|{self.backbone.use_att}|"
+                f"{self.backbone.dropout}|{self.backbone.sa_blocks!r}|"
+                f"{self.backbone.fp_blocks!r}|{self.backbone.dtype!r}|"
+                f"{self.diffusion.model_var_type}|{bh}")
+
     def denoise_fn(self, params):
         def fn(x, t):
             return self.backbone.apply(params, x, t, deterministic=True)
@@ -82,8 +96,11 @@ class PVDModel:
             return x
         ts = jnp.arange(start_time - 1, final_time - 1, -1, dtype=jnp.int32)
         keys = jax.random.split(key, steps)
-        return _jitted_pvd_window(self, bool(clip_denoised), params, x, ts,
-                                  keys)
+        from bdm_tpu.utils.aot_cache import aot_call
+        return aot_call(
+            _jitted_pvd_window, (self, bool(clip_denoised)),
+            (params, x, ts, keys), tag="pvd-window",
+            static_key=f"{self.aot_static_key()}|{bool(clip_denoised)}")
 
     def sample(self, params, shape, key: jax.Array) -> jnp.ndarray:
         """Unconditional generation from pure noise."""

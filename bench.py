@@ -98,23 +98,25 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
     import jax
     import jax.numpy as jnp
     try:
-        cond_map = pc2.conditioning_map(pc2_params, batch["image"])
         x = jnp.zeros((batch["image"].shape[0], points, 3), jnp.float32)
-        t = jnp.zeros((x.shape[0],), jnp.int32)
-        fn = jax.jit(lambda p, x, t: pc2.denoise(p, x, t, batch["camera"],
-                                                 cond_map))
-        # client-side analysis of the lowered HLO: compiling the module
-        # just for cost analysis trips the remote compile helper's size
-        # limit (HTTP 413) under the axon tunnel
-        ca = fn.lower(pc2_params, x, t).cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        if jax.default_backend() in ("tpu", "axon"):
+            # the TPU lowering returns no client-side cost analysis,
+            # compiling just for it trips the remote helper's size limit
+            # (HTTP 413), and even the MLIR conversion alone costs ~2 min
+            # through the tunnel; use the CPU-HLO count of the SAME graph
+            # (measured once: 748.4 GFLOP at batch 8, N=4096, production
+            # specs)
+            flops = 7.484e11 * (x.shape[0] / 8.0)
+        else:
+            cond_map = pc2.conditioning_map(pc2_params, batch["image"])
+            t = jnp.zeros((x.shape[0],), jnp.int32)
+            fn = jax.jit(lambda p, x, t: pc2.denoise(
+                p, x, t, batch["camera"], cond_map))
+            ca = fn.lower(pc2_params, x, t).cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
         if not flops:
-            # the TPU lowering returns no client-side cost analysis and
-            # compiling just for it trips the remote helper's size limit;
-            # use the CPU-HLO count of the SAME graph (measured once:
-            # 748.4 GFLOP at batch 8, N=4096, production specs)
             flops = 7.484e11 * (x.shape[0] / 8.0)
         kind = jax.devices()[0].device_kind
         peak = _PEAK_TFLOPS.get(kind)
