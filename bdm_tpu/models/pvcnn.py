@@ -275,7 +275,10 @@ class PVConv(nn.Module):
             g = to_vox_dtype(g)
         else:
             g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
-            g = to_vox_dtype(g)
+            if not (on_tpu and g.shape[-1] > 256):
+                g = to_vox_dtype(g)
+            # else: wide inputs stay f32 here — conv3d_mm fuses the bf16
+            # cast into its pad, one grid pass instead of two
 
             # fusion breaks: XLA otherwise builds a conv+GN-stats
             # mega-fusion whose layout runs the R=32 conv+GN ~3.5x slower

@@ -240,6 +240,95 @@ def conv3d_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     return out.reshape(b, r, r, r, cout)
 
 
+# ---------------------------------------------- whole-grid-per-batch form
+
+def _conv_wg_kernel(w_ref, b_ref, g_ref, out_ref, *, h, w, r):
+    """One program per BATCH: the full padded grid block sits in VMEM and
+    a fori_loop walks the D slices (dynamic indexing on the untiled
+    leading dim). vs the per-(batch, slice) kernel this runs R x fewer
+    programs and DMAs each slab once instead of three times (the lo/mid/hi
+    specs of neighbouring programs cannot share blocks)."""
+    hw = h * w
+    cin = g_ref.shape[-1]
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+    masks = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            masks.append((ys + dy >= 0) & (ys + dy < h)
+                         & (xs + dx >= 0) & (xs + dx < w))
+
+    def body(d, carry):
+        acc = jnp.zeros((hw, cout), jnp.float32)
+        for dz in range(3):
+            slab = g_ref[0, d + dz].astype(jnp.bfloat16)    # (HW, Cin)
+            cols = []
+            j = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    s = dy * w + dx
+                    if s:
+                        k = s % hw
+                        shifted = jnp.concatenate([slab[k:], slab[:k]],
+                                                  axis=0)
+                    else:
+                        shifted = slab
+                    cols.append(jnp.where(masks[j], shifted,
+                                          jnp.bfloat16(0)))
+                    j += 1
+            col = jnp.concatenate(cols, axis=1)             # (HW, 9*Cin)
+            acc = acc + jnp.dot(col,
+                                w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
+                                preferred_element_type=jnp.float32)
+        out_ref[0, d] = (acc + b_ref[0, :]).astype(out_dt)
+        return carry
+
+    jax.lax.fori_loop(0, r, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def conv3d_wg_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
+                     bias: jnp.ndarray, resolution: int,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Whole-grid-per-batch 3x3x3 SAME conv — same contract as
+    conv3d_pallas. VMEM budget: padded grid bf16 + out + col matrix; fits
+    for C <= 64 at R = 32 and any smaller stage."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, r, _, _, cin = grid.shape
+    assert r == resolution
+    cout = weights.shape[-1]
+    hw = r * r
+    out_dt = grid.dtype
+
+    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    wm = weights.astype(jnp.bfloat16).reshape(27 * cin, cout)
+    bm = bias.astype(jnp.float32).reshape(1, cout)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_wg_kernel, h=r, w=r, r=r),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((27 * cin, cout), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r + 2, hw, cin), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, hw, cout), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        interpret=interpret,
+    )(wm, bm, gp)
+    return out.reshape(b, r, r, r, cout)
+
+
 # ------------------------------------------------- matmul-first variant
 
 def _conv_mm_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
@@ -292,8 +381,10 @@ def conv3d_mm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     cout = weights.shape[-1]
     hw = r * r
     out_dt = grid.dtype
-
-    gp = jnp.pad(grid.reshape(b, r, hw, cin),
+    # the kernel contracts in bf16 regardless (slabs were cast in-kernel
+    # before) — casting at the pad fuses cast+pad into ONE pass for f32
+    # inputs (the pre-divided scatter-mean output) and halves the DMA
+    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
                  ((0, 0), (1, 1), (0, 0), (0, 0)))
     # (3, Cin, 9*Cout): per-dz blocks, (dy, dx)-major along the out axis
     wm = (weights.astype(jnp.bfloat16)
