@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from bdm_tpu.conditioning.cameras import PerspectiveCamera
@@ -107,7 +108,7 @@ def project_points_to_pixels_multi(points: jnp.ndarray,
     pid = ys[..., :, None] * s + xs[..., None, :]            # (B, N, Ky, Kx)
     b, n = z.shape
     pid = jnp.where(inside, pid, s * s).reshape(b, n, k * k)
-    return pid, z, inside.reshape(b, n, k * k)
+    return pid, z, inside.reshape(b, n, k * k), y_base, x_base
 
 
 def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
@@ -149,13 +150,32 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
         return jnp.where(won[..., None], feats, 0.0)
 
     assert splat == "multi", splat
-    pid, z, valid = project_points_to_pixels_multi(points, camera, h, radius)
+    pid, z, valid, y_base, x_base = project_points_to_pixels_multi(
+        points, camera, h, radius)
     kk = pid.shape[-1]
     zc = jnp.where(valid, z[..., None], _INF)                # (B, N, KK)
     zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
     zbuf = zbuf.at[jnp.arange(b)[:, None, None], pid].min(zc)
-    winner_z = jnp.take_along_axis(
-        zbuf, pid.reshape(b, n * kk), axis=1).reshape(b, n, kk)
+    if kk == 4:
+        # candidate pixels form a 2x2 window at (y_base, x_base): read
+        # winner_z as ONE (2, 2) window gather from the zbuf image with a
+        # 1-px INF border (gather cost follows the START count — N starts
+        # here vs 4N for the flat per-candidate gather, profiled 1.04 ms
+        # -> ~0.3 per step). Clamped starts only affect candidates that
+        # are invalid anyway (both window columns/rows off-image).
+        zpad = jnp.pad(zbuf[:, :h * w].reshape(b, h, w),
+                       ((0, 0), (1, 1), (1, 1)), constant_values=_INF)
+        sy = jnp.clip(y_base, -1, h - 1) + 1                 # (B, N)
+        sx = jnp.clip(x_base, -1, w - 1) + 1
+
+        def per_sample(zp, yy, xx):
+            return jax.vmap(lambda a, c_: jax.lax.dynamic_slice(
+                zp, (a, c_), (2, 2)))(yy, xx)
+
+        winner_z = jax.vmap(per_sample)(zpad, sy, sx).reshape(b, n, kk)
+    else:
+        winner_z = jnp.take_along_axis(
+            zbuf, pid.reshape(b, n * kk), axis=1).reshape(b, n, kk)
     won = valid & (zc <= winner_z)                           # (B, N, KK)
     # a point that won several pixels gets one of them (the reference's
     # duplicate-index scatter keeps an arbitrary write); take the first

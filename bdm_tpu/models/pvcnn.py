@@ -204,12 +204,19 @@ class VoxConv(nn.Module):
             return (out + bias.astype(jnp.float32)).astype(
                 self.dtype or jnp.float32)
         r = x.shape[1]
+        import os
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
-        if (_use_pallas_scatter() and cin <= 256 and r >= 2
-                and x.shape[1:4] == (r, r, r)):
-            from bdm_tpu.ops.pallas.conv3d import conv3d
+        impl = os.environ.get("BDM_CONV_IMPL", "ms")
+        if (impl != "xla" and _use_pallas_scatter() and cin <= 256
+                and r >= 2 and x.shape[1:4] == (r, r, r)):
             # dtype-preserving: PVConv feeds bf16 (cast fused upstream of
             # the barrier); output bf16, consumer GN computes f32 stats
+            if impl == "ms":
+                # multi-slice kernel: beats per-slab by ~20% at R=32
+                # small C (TPU A/B, tools/experiment_conv_ms.py)
+                from bdm_tpu.ops.pallas.conv3d import conv3d_ms
+                return conv3d_ms(x, kernel, bias, r)
+            from bdm_tpu.ops.pallas.conv3d import conv3d
             return conv3d(x, kernel, bias, r)
         if (_use_pallas_scatter() and cin > 256 and r >= 2
                 and x.shape[1:4] == (r, r, r)):

@@ -329,6 +329,201 @@ def conv3d_wg_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     return out.reshape(b, r, r, r, cout)
 
 
+# ------------------------------------------- multi-slice matmul variant
+
+def _conv_ms_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, scr_ref, *,
+                    h, w, ds):
+    """Per (batch, slice-GROUP): compute DS consecutive output D-slices.
+    The per-slab kernels run B*R programs of one (HW, C) slice each —
+    ~2.5 us/program of mostly fixed overhead at C<=64 (profiled 0.65 ms
+    for R=32 C=64, ~2.4x off the MXU roofline). Here each program owns a
+    DS-slice group; the halo (2 extra slices from the next group's
+    aligned block) is assembled into a VMEM scratch window and a
+    fori_loop walks the slices — the loop body's temporaries are REUSED
+    across iterations (a fully unrolled version kept every slice's f32
+    tap matrix live and blew the 16 MB scoped-vmem stack). Per output
+    slice the three dz slabs are stacked channel-wise into ONE
+    (HW, 3*Cin) @ (3*Cin, 9*Cout) MXU contraction (K = 3*Cin fills the
+    systolic depth at C >= 43), then the 9 (dy, dx) blocks are
+    accumulated with static row-rolls and border masks."""
+    hw = h * w
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+
+    scr_ref[0:ds] = a_ref[0]
+    scr_ref[ds:ds + 2] = n_ref[0, 0:2]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+    masks = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            masks.append((ys + dy >= 0) & (ys + dy < h)
+                         & (xs + dx >= 0) & (xs + dx < w))
+
+    def body(i, carry):
+        slab3 = jnp.concatenate(
+            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
+            axis=-1)                                        # (HW, 3*Cin)
+        m = jnp.dot(slab3, w_ref[...],
+                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
+        acc = jnp.zeros((hw, cout), jnp.float32)
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                blk = m[:, j * cout:(j + 1) * cout]
+                s = dy * w + dx
+                if s:
+                    k = s % hw
+                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
+                acc = acc + jnp.where(masks[j], blk, 0.0)
+                j += 1
+        out_ref[0, i] = (acc + b_ref[0, :]).astype(out_dt)
+        return carry
+
+    jax.lax.fori_loop(0, ds, body, 0)
+
+
+def _conv_ms_pad_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, scr_ref,
+                        mp_ref, *, h, w, ds):
+    """conv_ms with padded-window tap accumulation instead of masked
+    rolls: the (HW, 9*Cout) tap matrix is stored into the center of a
+    zero-bordered (H+2, W+2, 9*Cout) scratch, and each (dy, dx) tap is a
+    STATIC window slice-add — one VPU add per tap element, replacing the
+    roll-copy + border-select + add chain (the R=32 small-C convs are
+    VPU-bound on exactly that chain: ms4 profiled 0.54 ms at C=64 vs a
+    0.29 ms MXU roofline)."""
+    hw = h * w
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+    ncol = mp_ref.shape[-1]                                 # 9*Cout
+
+    scr_ref[0:ds] = a_ref[0]
+    scr_ref[ds:ds + 2] = n_ref[0, 0:2]
+    # zero the pad border once; the center is overwritten every slice
+    mp_ref[0] = jnp.zeros((w + 2, ncol), jnp.float32)
+    mp_ref[h + 1] = jnp.zeros((w + 2, ncol), jnp.float32)
+    mp_ref[1:h + 1, 0:1] = jnp.zeros((h, 1, ncol), jnp.float32)
+    mp_ref[1:h + 1, w + 1:w + 2] = jnp.zeros((h, 1, ncol), jnp.float32)
+
+    def body(i, carry):
+        slab3 = jnp.concatenate(
+            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
+            axis=-1)                                        # (HW, 3*Cin)
+        m = jnp.dot(slab3, w_ref[...],
+                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
+        mp_ref[1:h + 1, 1:w + 1] = m.reshape(h, w, ncol)
+        acc = jnp.zeros((h, w, cout), jnp.float32)
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc = acc + mp_ref[1 + dy:1 + dy + h, 1 + dx:1 + dx + w,
+                                   j * cout:(j + 1) * cout]
+                j += 1
+        out_ref[0, i] = (acc.reshape(hw, cout)
+                         + b_ref[0, :]).astype(out_dt)
+        return carry
+
+    jax.lax.fori_loop(0, ds, body, 0)
+
+
+def _ms_group_size(r: int, cin: int, cout: int) -> int:
+    """Empirical slice-group size: Mosaic's scoped-vmem stack accounting
+    is opaque (a modelled 6 MB case measured 18.45 MB), so this is a
+    table from the TPU compile sweep (tools/experiment_conv_ms.py):
+    ds=8 OOMs at R=32 for any C; ds=4 compiles and ties ds=2 on speed;
+    R<=16 compiles at ds=8 for C<=256."""
+    if r % 2:
+        return 0                                # >= 2: halo needs 2 rows
+    if r >= 32:
+        return 4 if r % 4 == 0 else 2
+    return max(d for d in (8, 4, 2) if r % d == 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
+                     bias: jnp.ndarray, resolution: int,
+                     interpret: bool | None = None,
+                     ds: int | None = None,
+                     taps: str = "roll") -> jnp.ndarray:
+    """Multi-slice matmul-first 3x3x3 SAME conv (see _conv_ms_kernel).
+    Same contract as conv3d_pallas. `ds` overrides the slice-group size
+    (must divide R, >= 2); `taps` selects the in-kernel tap accumulation
+    ("roll" = masked row-rolls, "pad" = zero-bordered scratch window)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, r, _, _, cin = grid.shape
+    assert r == resolution
+    cout = weights.shape[-1]
+    hw = r * r
+    out_dt = grid.dtype
+    if ds is None:
+        ds = _ms_group_size(r, cin, cout)
+    if not ds:
+        return conv3d_pallas(grid, weights, bias, resolution,
+                             interpret=interpret)
+    ngroups = r // ds
+
+    # padded D length (ngroups + 1) * ds so the halo block (group g+1) is
+    # always in range; rows beyond r+1 are zero and never read
+    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
+                 ((0, 0), (1, ds - 1), (0, 0), (0, 0)))
+    # (3*Cin, 9*Cout), dz-major rows, (dy, dx)-major out blocks
+    wm = (weights.astype(jnp.bfloat16)
+          .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
+          .reshape(3 * cin, 9 * cout))
+    bm = bias.astype(jnp.float32).reshape(1, cout)
+
+    def blk_spec(off):
+        return pl.BlockSpec((1, ds, hw, cin),
+                            lambda bi, g, _o=off: (bi, g + _o, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    scratch = [pltpu.VMEM((ds + 2, hw, cin), jnp.bfloat16)]
+    if taps == "pad":
+        kern = functools.partial(_conv_ms_pad_kernel, h=r, w=r, ds=ds)
+        scratch.append(pltpu.VMEM((r + 2, r + 2, 9 * cout), jnp.float32))
+    else:
+        assert taps == "roll", taps
+        kern = functools.partial(_conv_ms_kernel, h=r, w=r, ds=ds)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, ngroups),
+        in_specs=[
+            pl.BlockSpec((3 * cin, 9 * cout), lambda bi, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk_spec(0), blk_spec(1),
+        ],
+        out_specs=pl.BlockSpec((1, ds, hw, cout),
+                               lambda bi, g: (bi, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(wm, bm, gp, gp)
+    return out.reshape(b, r, r, r, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_ms(grid: jnp.ndarray, weights: jnp.ndarray, bias: jnp.ndarray,
+              resolution: int) -> jnp.ndarray:
+    """Differentiable multi-slice conv: Pallas forward, XLA-conv
+    backward — same contract as conv3d."""
+    return conv3d_ms_pallas(grid, weights, bias, resolution)
+
+
+def _conv3d_ms_fwd(grid, weights, bias, resolution):
+    return conv3d_ms_pallas(grid, weights, bias, resolution), (grid,
+                                                               weights)
+
+
+conv3d_ms.defvjp(_conv3d_ms_fwd, _conv3d_bwd)
+
+
 # ------------------------------------------------- matmul-first variant
 
 def _conv_mm_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,

@@ -36,6 +36,10 @@ def main():
                              "custom-call target, copy, ...) — copy-start/"
                              "slice-start spans overlap compute and are "
                              "reported separately, not added to the total")
+    parser.add_argument("--modules", action="store_true",
+                        help="print XLA Modules executions in trace order "
+                             "(duration / iters) — maps A/B chains to "
+                             "their launch order")
     args = parser.parse_args()
 
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -56,6 +60,18 @@ def main():
             for ev in line.events:
                 tot[plane.event_metadata[ev.metadata_id].name] += \
                     ev.duration_ps
+        if args.modules:
+            mods = []
+            for line in plane.lines:
+                if line.name != "XLA Modules":
+                    continue
+                for ev in line.events:
+                    mods.append((ev.offset_ps, ev.duration_ps,
+                                 plane.event_metadata[ev.metadata_id].name))
+            mods.sort()
+            print(f"== {plane.name} modules in trace order")
+            for off, dur, name in mods:
+                print(f"{dur / args.iters / 1e6:10.1f} us/iter  {name[:70]}")
         print(f"== {plane.name} (top {args.top} by total time)")
         for name, ps in tot.most_common(args.top):
             print(f"{ps / args.iters / 1e6:10.1f} us/iter  {name[:95]}")
