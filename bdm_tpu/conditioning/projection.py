@@ -157,22 +157,25 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
     zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
     zbuf = zbuf.at[jnp.arange(b)[:, None, None], pid].min(zc)
     if kk == 4:
-        # candidate pixels form a 2x2 window at (y_base, x_base): read
-        # winner_z as ONE (2, 2) window gather from the zbuf image with a
-        # 1-px INF border (gather cost follows the START count — N starts
-        # here vs 4N for the flat per-candidate gather, profiled 1.04 ms
-        # -> ~0.3 per step). Clamped starts only affect candidates that
-        # are invalid anyway (both window columns/rows off-image).
+        # candidate pixels form a 2x2 window at (y_base, x_base): build a
+        # 4-channel window image (3 shifted copies of the zbuf — one cheap
+        # elementwise pass over the 225^2 image) and read winner_z as ONE
+        # flat gather with a FULL lane dim (gather cost follows the START
+        # count: N starts vs 4N for the per-candidate gather; a
+        # vmap(dynamic_slice (2,2)) variant serialized into a 28 ms/step
+        # while loop — lane-dim dynamic starts do not vectorize on TPU).
+        # Clamped starts only affect candidates that are invalid anyway.
         zpad = jnp.pad(zbuf[:, :h * w].reshape(b, h, w),
                        ((0, 0), (1, 1), (1, 1)), constant_values=_INF)
+        zw = jnp.stack([zpad[:, :-1, :-1], zpad[:, :-1, 1:],
+                        zpad[:, 1:, :-1], zpad[:, 1:, 1:]],
+                       axis=-1)                    # (B, H+1, W+1, 4)
         sy = jnp.clip(y_base, -1, h - 1) + 1                 # (B, N)
         sx = jnp.clip(x_base, -1, w - 1) + 1
-
-        def per_sample(zp, yy, xx):
-            return jax.vmap(lambda a, c_: jax.lax.dynamic_slice(
-                zp, (a, c_), (2, 2)))(yy, xx)
-
-        winner_z = jax.vmap(per_sample)(zpad, sy, sx).reshape(b, n, kk)
+        flat_idx = sy * (w + 1) + sx
+        winner_z = jnp.take_along_axis(
+            zw.reshape(b, (h + 1) * (w + 1), kk),
+            flat_idx[..., None], axis=1)           # (B, N, 4)
     else:
         winner_z = jnp.take_along_axis(
             zbuf, pid.reshape(b, n * kk), axis=1).reshape(b, n, kk)

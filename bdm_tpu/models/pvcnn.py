@@ -178,12 +178,18 @@ class VoxConv(nn.Module):
     def __call__(self, x: Optional[jnp.ndarray] = None, *,
                  pre_tap: Optional[jnp.ndarray] = None,
                  xt: Optional[jnp.ndarray] = None,
-                 vox_ctx=None, resolution: Optional[int] = None
-                 ) -> jnp.ndarray:
+                 vox_ctx=None, resolution: Optional[int] = None,
+                 prepadded: bool = False) -> jnp.ndarray:
         cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if prepadded:
+            # (B, R+2, HW, Cin) fused-scatter layout; the matmul-first
+            # conv consumes it without a pad pass
+            from bdm_tpu.ops.pallas.conv3d import conv3d_mm_prepadded
+            return conv3d_mm_prepadded(x, kernel, bias,
+                                       resolution or x.shape[1] - 2)
         if pre_tap is not None:
             from bdm_tpu.ops.conv_wide import tap_shift_sum
             from bdm_tpu.ops.voxelize import scatter_mean_contributions
@@ -280,12 +286,20 @@ class PVConv(nn.Module):
                 None, pre_tap=pre_tap, xt=features[..., :3],
                 vox_ctx=vox_ctx, resolution=self.resolution)
             g = to_vox_dtype(g)
+        elif on_tpu and features.shape[-1] > 256:
+            # wide stage-0 input: ONE Pallas kernel scatters the
+            # pre-divided contributions directly into the D-padded bf16
+            # conv layout (the standalone scatter -> cast -> pad chain
+            # cost 2.0 + 1.2 + 0.8 ms/step at C=390, profiled r3)
+            gp = ops.avg_voxelize_padded_ctx(features, vox_ctx,
+                                             self.resolution)
+            gp = jax.lax.optimization_barrier(gp)
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        name="vconv0")(gp, prepadded=True,
+                                       resolution=self.resolution)
         else:
             g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
-            if not (on_tpu and g.shape[-1] > 256):
-                g = to_vox_dtype(g)
-            # else: wide inputs stay f32 here — conv3d_mm fuses the bf16
-            # cast into its pad, one grid pass instead of two
+            g = to_vox_dtype(g)
 
             # fusion breaks: XLA otherwise builds a conv+GN-stats
             # mega-fusion whose layout runs the R=32 conv+GN ~3.5x slower

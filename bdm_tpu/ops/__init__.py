@@ -16,6 +16,7 @@ from bdm_tpu.ops.voxelize import (
     normalize_coords,
     avg_voxelize,
     avg_voxelize_ctx,
+    avg_voxelize_padded_ctx,
     make_voxel_context,
     VoxelContext,
     trilinear_devoxelize,
@@ -29,6 +30,7 @@ __all__ = [
     "normalize_coords",
     "avg_voxelize",
     "avg_voxelize_ctx",
+    "avg_voxelize_padded_ctx",
     "make_voxel_context",
     "VoxelContext",
     "trilinear_devoxelize",

@@ -562,25 +562,38 @@ def _conv_mm_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *,
     out_ref[0, 0] = (acc + b_ref[0, :]).astype(out_dt)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def conv3d_mm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                      bias: jnp.ndarray, resolution: int,
-                     interpret: bool | None = None) -> jnp.ndarray:
+                     interpret: bool | None = None,
+                     prepadded: bool = False) -> jnp.ndarray:
     """Matmul-first 3x3x3 SAME conv (see _conv_mm_kernel). Same contract
     as conv3d_pallas. interpret=None auto-selects the Pallas interpreter
-    off-TPU so the differentiable wrapper is testable on CPU."""
+    off-TPU so the differentiable wrapper is testable on CPU. With
+    `prepadded`, `grid` is already the D-padded (B, R+2, HW, Cin) bf16
+    layout (scatter_sum_sorted_padded_pallas emits it directly) and the
+    pad pass is skipped; the output dtype is then bf16."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, r, _, _, cin = grid.shape
-    assert r == resolution
-    cout = weights.shape[-1]
-    hw = r * r
-    out_dt = grid.dtype
-    # the kernel contracts in bf16 regardless (slabs were cast in-kernel
-    # before) — casting at the pad fuses cast+pad into ONE pass for f32
-    # inputs (the pre-divided scatter-mean output) and halves the DMA
-    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
-                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    if prepadded:
+        b, rp2, hw, cin = grid.shape
+        r = rp2 - 2
+        assert r == resolution and hw == r * r, grid.shape
+        gp = grid
+        out_dt = grid.dtype
+        cout = weights.shape[-1]
+    else:
+        b, r, _, _, cin = grid.shape
+        assert r == resolution
+        cout = weights.shape[-1]
+        hw = r * r
+        out_dt = grid.dtype
+        # the kernel contracts in bf16 regardless (slabs were cast
+        # in-kernel before) — casting at the pad fuses cast+pad into ONE
+        # pass for f32 inputs (the pre-divided scatter-mean output) and
+        # halves the DMA
+        gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
+                     ((0, 0), (1, 1), (0, 0), (0, 0)))
     # (3, Cin, 9*Cout): per-dz blocks, (dy, dx)-major along the out axis
     wm = (weights.astype(jnp.bfloat16)
           .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
@@ -625,3 +638,31 @@ def _conv3d_mm_fwd(grid, weights, bias, resolution):
 
 
 conv3d_mm.defvjp(_conv3d_mm_fwd, _conv3d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_mm_prepadded(gp: jnp.ndarray, weights: jnp.ndarray,
+                        bias: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Differentiable matmul-first conv over an already D-padded
+    (B, R+2, HW, Cin) grid (the fused wide-scatter output); skips the pad
+    pass. Returns (B, R, R, R, Cout) in the grid dtype."""
+    return conv3d_mm_pallas(gp, weights, bias, resolution, None, True)
+
+
+def _conv3d_mm_prepadded_fwd(gp, weights, bias, resolution):
+    return conv3d_mm_prepadded(gp, weights, bias, resolution), (gp, weights)
+
+
+def _conv3d_mm_prepadded_bwd(resolution, res, g):
+    gp, weights = res
+    r = resolution
+    b, _, hw, cin = gp.shape
+    grid = gp[:, 1:r + 1].reshape(b, r, r, r, cin)
+    dgrid, dw, db = _conv3d_bwd(resolution, (grid, weights), g)
+    dgp = jnp.pad(dgrid.reshape(b, r, hw, cin),
+                  ((0, 0), (1, 1), (0, 0), (0, 0))).astype(gp.dtype)
+    return (dgp, dw, db)
+
+
+conv3d_mm_prepadded.defvjp(_conv3d_mm_prepadded_fwd,
+                           _conv3d_mm_prepadded_bwd)

@@ -123,6 +123,130 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
     out_ref[0] = acc
 
 
+# ------------------------------------------- sorted + padded-grid variant
+
+def _scatter_sorted_padded_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
+                                  tile_v: int, maxp: int, bps: int,
+                                  ntiles: int):
+    """Sorted-range matmul-scatter writing DIRECTLY into the zero-padded
+    (B, R+2, HW, C) grid layout the matmul-first conv consumes — the
+    standalone scatter -> cast -> pad chain cost 2.0 + 1.2 + 0.8 ms/step
+    at C=390 (profiled r3). Grid programs: the first and last `bps`
+    programs zero the D-pad rows; the middle `ntiles` run the sorted-range
+    contraction for voxel tile (t - bps). Accumulation is f32 in VMEM,
+    rounded once at the (typically bf16) output store — the same rounding
+    point as the standalone-scatter + cast pipeline."""
+    t = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    n = ids_ref.shape[1]
+    c = feats_ref.shape[-1]
+    out_dt = out_ref.dtype
+    is_pad = (t < bps) | (t >= bps + ntiles)
+
+    @pl.when(is_pad)
+    def _():
+        out_ref[0, 0] = jnp.zeros((tile_v, c), out_dt)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        t_idx = t - bps
+        base = t_idx * tile_v
+        vox_row = base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_v), 1)
+        groups = [(g, min(g + 128, c)) for g in range(0, c, 128)]
+        start = lo_ref[b_idx, t_idx]
+        end = lo_ref[b_idx, t_idx + 1]
+        acc = jnp.zeros((tile_v, c), jnp.float32)
+        n_chunks = (n + maxp - 1) // maxp
+        for k in range(n_chunks):
+            s = start + k * maxp
+
+            def body(a, s=s):
+                s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
+                ids = ids_ref[0, pl.ds(s_c, maxp), :]       # (MAXP, 1)
+                pos = s_c + jax.lax.broadcasted_iota(
+                    jnp.int32, (maxp, 1), 0)
+                valid = (pos >= s) & (pos < end)
+                mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
+                parts = []
+                for g0, g1 in groups:
+                    f = feats_ref[0, pl.ds(s_c, maxp), g0:g1].astype(
+                        jnp.bfloat16)
+                    parts.append(jax.lax.dot_general(
+                        mask, f,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                return a + (parts[0] if len(parts) == 1
+                            else jnp.concatenate(parts, axis=1))
+
+            acc = jax.lax.cond(s < end, body, lambda a: a, acc)
+        out_ref[0, 0] = acc.astype(out_dt)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def scatter_sum_sorted_padded_pallas(features: jnp.ndarray,
+                                     ids: jnp.ndarray,
+                                     tile_lo: jnp.ndarray,
+                                     resolution: int,
+                                     out_dtype=jnp.bfloat16,
+                                     tile_v: int | None = None,
+                                     maxp: int | None = None
+                                     ) -> jnp.ndarray:
+    """Sorted-range matmul-scatter into a zero-padded conv layout.
+
+    features (B, N, C) SORTED by voxel id (pre-divided contributions for
+    a scatter-mean); ids (B, N) sorted; tile_lo as in
+    scatter_sum_sorted_pallas (same tile_v granularity). Returns
+    (B, R+2, R*R, C) `out_dtype`, rows [1, R+1) holding the (R^3, C)
+    voxel sums slice-major and rows 0 / R+1 zero — exactly the D-padded
+    input of conv3d_mm_pallas(prepadded=True).
+    """
+    b, n, c = features.shape
+    r = resolution
+    hw = r * r
+    r3 = r * hw
+    if tile_v is None:
+        tile_v = min(512, hw)
+    assert hw % tile_v == 0 and r3 % tile_v == 0, (r, tile_v)
+    assert tile_lo.shape[1] == r3 // tile_v + 1, (
+        tile_lo.shape, r3, tile_v)
+    if maxp is None:
+        maxp = min(n, 1024)
+    maxp = min(maxp, n)
+    bps = hw // tile_v                     # out blocks per D-slice
+    ntiles = r3 // tile_v
+
+    kernel = functools.partial(_scatter_sorted_padded_kernel,
+                               tile_v=tile_v, maxp=maxp, bps=bps,
+                               ntiles=ntiles)
+
+    def out_map(bi, t):
+        row = jnp.where(t < bps, 0,
+                        jnp.where(t >= bps + ntiles, r + 1,
+                                  (t - bps) // bps + 1))
+        col = jnp.where(t < bps, t,
+                        jnp.where(t >= bps + ntiles, t - bps - ntiles,
+                                  (t - bps) % bps))
+        return (bi, row, col, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ntiles + 2 * bps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_lo, full
+            pl.BlockSpec((1, n, 1), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_v, c), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r + 2, hw, c), out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_lo.astype(jnp.int32), ids.astype(jnp.int32).reshape(b, n, 1),
+      features)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
                               tile_lo: jnp.ndarray, num_segments: int,

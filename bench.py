@@ -75,22 +75,37 @@ def kernel_self_check():
     np.testing.assert_allclose(np.asarray(counts), np.asarray(want[..., c]),
                                rtol=0, atol=0.5)
 
+    # padded-layout fused scatter (the wide stage-0 production path)
+    from bdm_tpu.ops.voxelize import avg_voxelize_padded_ctx, \
+        avg_voxelize_ctx
+    pad = avg_voxelize_padded_ctx(feats, ctx, r, jnp.bfloat16)
+    ref_grid = avg_voxelize_ctx(feats, ctx, r).reshape(b, r, r * r, c)
+    np.testing.assert_allclose(np.asarray(pad[:, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(pad[:, r + 1]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(pad[:, 1:r + 1].astype(jnp.float32)),
+        np.asarray(ref_grid), rtol=3e-2, atol=3e-2)
+
     grid = jnp.asarray(
         rng.standard_normal((2, r, r, r, c)).astype(np.float32))
     k = jnp.asarray((rng.standard_normal((3, 3, 3, c, c)) * 0.1)
                     .astype(np.float32))
     bias = jnp.zeros((c,), jnp.float32)
-    got = conv3d_pallas(grid, k, bias, r)
     dn = jax.lax.conv_dimension_numbers(grid.shape, k.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
     ref = jax.lax.conv_general_dilated(
         grid, k, (1, 1, 1), "SAME", dimension_numbers=dn,
         precision=jax.lax.Precision.HIGHEST) + bias
-    err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
     scale = float(jnp.abs(ref).max())
-    assert err < 0.05 * scale + 0.05, (err, scale)
-    log(f"self-check passed: scatter == segsum, conv3d max-err "
-        f"{err:.3g} (scale {scale:.3g})")
+    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
+    errs = {}
+    for nm, fn in (("slab", conv3d_pallas), ("ms", conv3d_ms_pallas)):
+        got = fn(grid, k, bias, r)
+        err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
+        assert err < 0.05 * scale + 0.05, (nm, err, scale)
+        errs[nm] = err
+    log(f"self-check passed: scatter == segsum, padded scatter == pad, "
+        f"conv3d max-err {errs} (scale {scale:.3g})")
 
 
 def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):

@@ -455,3 +455,52 @@ def test_conv3d_mm_grad_matches(rng):
     for a, b_ in zip(g_mm, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_scatter_sum_sorted_padded_pallas_interpret(rng):
+    """Padded-layout sorted scatter == pad(segment_sum) (interpret mode):
+    pad rows zero, interior slice-major sums, bf16 store rounding."""
+    from bdm_tpu.ops.pallas.voxelize import scatter_sum_sorted_padded_pallas
+    b, n, c, r = 2, 64, 5, 4
+    hw, r3 = r * r, r ** 3
+    tile_v = min(512, hw)
+    ids = np.sort(rng.integers(0, r3, (b, n)), axis=1).astype(np.int32)
+    feats = rng.standard_normal((b, n, c)).astype(np.float32)
+    t = r3 // tile_v
+    lo = np.zeros((b, t + 1), np.int32)
+    for bi in range(b):
+        for ti in range(t):
+            lo[bi, ti] = np.searchsorted(ids[bi], ti * tile_v)
+        lo[bi, t] = n
+    got = scatter_sum_sorted_padded_pallas(
+        jnp.asarray(feats), jnp.asarray(ids), jnp.asarray(lo), r,
+        jnp.float32)
+    flat = (ids + np.arange(b)[:, None] * r3).reshape(-1)
+    want = jax.ops.segment_sum(
+        jnp.asarray(feats).reshape(b * n, c), jnp.asarray(flat),
+        num_segments=b * r3).reshape(b, r, hw, c)
+    assert got.shape == (b, r + 2, hw, c)
+    np.testing.assert_allclose(np.asarray(got[:, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(got[:, r + 1]), 0.0)
+    np.testing.assert_allclose(np.asarray(got[:, 1:r + 1]),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_avg_voxelize_padded_ctx_matches_and_grads(rng):
+    """avg_voxelize_padded_ctx == pad(avg_voxelize_ctx) and its gradient
+    matches the unpadded op's (the pad rows carry no cotangent)."""
+    b, n, c, r = 2, 48, 5, 4
+    coords = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    ctx = ops.make_voxel_context(coords, r)
+    got = ops.avg_voxelize_padded_ctx(feats, ctx, r, jnp.float32)
+    want = ops.avg_voxelize_ctx(feats, ctx, r).reshape(b, r, r * r, c)
+    np.testing.assert_allclose(np.asarray(got[:, 1:r + 1]),
+                               np.asarray(want), rtol=1e-5, atol=1e-6)
+    w = jnp.asarray(rng.standard_normal(got.shape).astype(np.float32))
+    g_pad = jax.grad(lambda f: (ops.avg_voxelize_padded_ctx(
+        f, ctx, r, jnp.float32) * w).sum())(feats)
+    g_ref = jax.grad(lambda f: (ops.avg_voxelize_ctx(
+        f, ctx, r).reshape(b, r, r * r, c) * w[:, 1:r + 1]).sum())(feats)
+    np.testing.assert_allclose(np.asarray(g_pad), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)

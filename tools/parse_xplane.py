@@ -42,7 +42,9 @@ def main():
                              "their launch order")
     args = parser.parse_args()
 
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    # upb parses a 300 MB trace in ~2 s; the pure-python fallback takes
+    # many minutes on large traces
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "upb")
     ensure_proto()
     import xplane_pb2
 
