@@ -21,6 +21,7 @@ from bdm_tpu.cli import (
     sample_output_dirs,
     save_batch_outputs,
     set_seed,
+    setup_compile_cache,
 )
 from bdm_tpu.config import ProjectConfig, parse_cli
 from bdm_tpu.data import get_dataset
@@ -61,6 +62,7 @@ def sample_bdm_blending(cfg: ProjectConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    setup_compile_cache()
     set_seed(cfg.run.seed)
     if cfg.run.job == "sample_bdm_blending":
         sample_bdm_blending(cfg)

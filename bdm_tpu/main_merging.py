@@ -26,6 +26,7 @@ from bdm_tpu.cli import (
     sample_output_dirs,
     save_batch_outputs,
     set_seed,
+    setup_compile_cache,
 )
 from bdm_tpu.config import ProjectConfig, parse_cli
 from bdm_tpu.config.structured import to_dict
@@ -123,6 +124,7 @@ def sample_bdm_merging(cfg: ProjectConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    setup_compile_cache()
     set_seed(cfg.run.seed)
     if cfg.run.job == "training_bdm_merging":
         training_bdm_merging(cfg)

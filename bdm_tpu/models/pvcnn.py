@@ -27,6 +27,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bdm_tpu import ops
 from bdm_tpu.models.layers import (
@@ -179,7 +180,8 @@ class VoxConv(nn.Module):
                  pre_tap: Optional[jnp.ndarray] = None,
                  xt: Optional[jnp.ndarray] = None,
                  vox_ctx=None, resolution: Optional[int] = None,
-                 prepadded: bool = False) -> jnp.ndarray:
+                 prepadded: bool = False,
+                 prenorm: Optional[tuple] = None) -> jnp.ndarray:
         cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
@@ -190,6 +192,13 @@ class VoxConv(nn.Module):
             from bdm_tpu.ops.pallas.conv3d import conv3d_mm_prepadded
             return conv3d_mm_prepadded(x, kernel, bias,
                                        resolution or x.shape[1] - 2)
+        if prenorm is not None:
+            # fused [GN-normalize -> swish -> conv] (inference):
+            # a = gamma*rsqrt(var+eps), c = beta - mean*a per (B, Cin)
+            from bdm_tpu.ops.pallas.conv3d import conv3d_ms_prenorm_pallas
+            a_aff, c_aff = prenorm
+            return conv3d_ms_prenorm_pallas(x, kernel, bias, a_aff,
+                                            c_aff, x.shape[1])
         if pre_tap is not None:
             from bdm_tpu.ops.conv_wide import tap_shift_sum
             from bdm_tpu.ops.voxelize import scatter_mean_contributions
@@ -241,6 +250,21 @@ class VoxConv(nn.Module):
             x.astype(dt), kernel.astype(dt), (1, 1, 1), "SAME",
             dimension_numbers=dn)
         return y + bias.astype(dt)
+
+
+class GNAffineParams(nn.Module):
+    """Parameter-only stand-in for nn.GroupNorm: same param names
+    ("scale", "bias") and shapes ((C,)), so the checkpoint tree is
+    identical whether the fused or the unfused GN path traced."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.features,)),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features,)))
 
 
 class PVConv(nn.Module):
@@ -309,15 +333,54 @@ class PVConv(nn.Module):
             g = jax.lax.optimization_barrier(g)
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv0")(g)
-        g = jax.lax.optimization_barrier(g)
-        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
-                         name="vnorm0")(g)
-        g = swish(g)
-        g = nn.Dropout(self.dropout, name="vdrop")(
-            g, deterministic=deterministic)
-        g = to_vox_dtype(g)
-        g = jax.lax.optimization_barrier(g)
-        g = VoxConv(self.out_channels, dtype=self.dtype, name="vconv1")(g)
+        ch = g.shape[-1]
+        import os
+        from bdm_tpu.ops.pallas.conv3d import _ms_group_size
+        if (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
+                and on_tpu and deterministic and ch % 8 == 0
+                and ch <= 256
+                and _ms_group_size(self.resolution, ch,
+                                   self.out_channels)):
+            # MEASURED NET LOSS, default off: the fused kernel ran
+            # 4.09 ms/step for 7 convs vs ~1.7 plain-ms + ~0.8 of XLA
+            # normalize passes saved — the in-kernel f32 affine+swish
+            # over the (DS+2)/DS window costs more than the saved grid
+            # round-trip (profiled r3; kept for future slab caching)
+            # fused [GN0 -> swish -> vconv1] (inference): stats in XLA,
+            # normalize+swish inside the conv's scratch assembly — the
+            # ms kernel's halo redundancy is only (DS+2)/DS vs the 3x
+            # that killed the per-slab prenorm A/B. Dropout is identity
+            # here (deterministic); params alias the nn.GroupNorm tree.
+            scale, beta = GNAffineParams(ch, name="vnorm0")()
+            # channel-first reduction (one fused two-output grid pass,
+            # like the unfused GN's convert_reduce fusion) — a
+            # (B, S, 8, C/8) reshape+mean materialized a transposed f32
+            # intermediate (~0.8 ms/step profiled)
+            gf = g.astype(jnp.float32)
+            s1 = gf.sum(axis=(1, 2, 3))                    # (B, C)
+            s2 = (gf * gf).sum(axis=(1, 2, 3))
+            cnt = float(np.prod(g.shape[1:4]) * (ch // 8))
+            mu_g = s1.reshape(-1, 8, ch // 8).sum(-1) / cnt
+            m2_g = s2.reshape(-1, 8, ch // 8).sum(-1) / cnt
+            var_g = jnp.maximum(m2_g - mu_g * mu_g, 0.0)
+            mu = jnp.repeat(mu_g, ch // 8, axis=1)
+            var = jnp.repeat(var_g, ch // 8, axis=1)
+            a_aff = jax.lax.rsqrt(var + 1e-5) * scale[None]
+            c_aff = beta[None] - mu * a_aff
+            g = jax.lax.optimization_barrier(g)
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        name="vconv1")(g, prenorm=(a_aff, c_aff))
+        else:
+            g = jax.lax.optimization_barrier(g)
+            g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                             name="vnorm0")(g)
+            g = swish(g)
+            g = nn.Dropout(self.dropout, name="vdrop")(
+                g, deterministic=deterministic)
+            g = to_vox_dtype(g)
+            g = jax.lax.optimization_barrier(g)
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        name="vconv1")(g)
         g = jax.lax.optimization_barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm1")(g)

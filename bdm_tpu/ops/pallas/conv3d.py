@@ -68,11 +68,13 @@ def _conv_kernel(w_ref, b_ref, lo_ref, mid_ref, hi_ref, out_ref, *, h, w):
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def conv3d_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                   bias: jnp.ndarray, resolution: int,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool | None = None) -> jnp.ndarray:
     """grid (B, R, R, R, Cin) f32, weights (3, 3, 3, Cin, Cout),
     bias (Cout,) -> (B, R, R, R, Cout) in the input dtype (stride 1,
     SAME). Pass a bf16 grid to halve the pad + kernel input traffic (the
     matmuls are bf16-input/f32-accumulate either way)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, r, _, _, cin = grid.shape
     assert r == resolution
     cout = weights.shape[-1]
@@ -429,6 +431,147 @@ def _conv_ms_pad_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, scr_ref,
 
 
 def _ms_group_size(r: int, cin: int, cout: int) -> int:
+    """Empirical slice-group size: Mosaic's scoped-vmem stack accounting
+    is opaque (a modelled 6 MB case measured 18.45 MB), so this is a
+    table from the TPU compile sweep (tools/experiment_conv_ms.py):
+    ds=8 OOMs at R=32 for any C; ds=4 compiles and ties ds=2 on speed;
+    R<=16 compiles at ds=8 for C<=256."""
+    if r % 2:
+        return 0                                # >= 2: halo needs 2 rows
+    if r >= 32:
+        return 4 if r % 4 == 0 else 2
+    return max(d for d in (8, 4, 2) if r % d == 0)
+
+
+def _conv_ms_prenorm_kernel(w_ref, b_ref, a_ref, c_ref, a_blk, n_blk,
+                            out_ref, scr_ref, *, h, w, ds, ngroups):
+    """conv_ms with a per-(batch, channel) affine + swish applied while
+    the scratch window is assembled: slab' = swish(slab * a + c). With
+    a = gamma * rsqrt(var + eps) and c = beta - mean * a this fuses
+    GroupNorm-normalize + swish into the next conv — the halo makes the
+    redundancy only (DS+2)/DS, vs the 3x of the per-slab prenorm kernel
+    that lost its A/B (TODO r3 note). Inference path (no dropout, no
+    vjp).
+
+    D-halo care: the unfused path activates THEN pads, so the conv's
+    D-halo must be zero — but act(0) = swish(c) != 0. The scratch rows
+    that correspond to pad rows of the input (row 0 of the first group,
+    the last row of the last group) are therefore re-zeroed after
+    assembly. H/W halo is handled by the post-matmul border masks."""
+    hw = h * w
+    cin = a_blk.shape[-1]
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+    g_idx = pl.program_id(1)
+    aa = a_ref[0, 0]                                        # (Cin,)
+    cc = c_ref[0, 0]
+
+    def act(x):
+        xf = x.astype(jnp.float32) * aa + cc
+        return (xf * (1.0 / (1.0 + jnp.exp(-xf)))).astype(jnp.bfloat16)
+
+    scr_ref[0:ds] = act(a_blk[0])
+    scr_ref[ds:ds + 2] = act(n_blk[0, 0:2])
+
+    @pl.when(g_idx == 0)
+    def _():
+        scr_ref[0:1] = jnp.zeros((1, hw, cin), jnp.bfloat16)
+
+    @pl.when(g_idx == ngroups - 1)
+    def _():
+        scr_ref[ds + 1:ds + 2] = jnp.zeros((1, hw, cin), jnp.bfloat16)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+    masks = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            masks.append((ys + dy >= 0) & (ys + dy < h)
+                         & (xs + dx >= 0) & (xs + dx < w))
+
+    def body(i, carry):
+        slab3 = jnp.concatenate(
+            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
+            axis=-1)                                        # (HW, 3*Cin)
+        m = jnp.dot(slab3, w_ref[...],
+                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
+        acc = jnp.zeros((hw, cout), jnp.float32)
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                blk = m[:, j * cout:(j + 1) * cout]
+                s = dy * w + dx
+                if s:
+                    k = s % hw
+                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
+                acc = acc + jnp.where(masks[j], blk, 0.0)
+                j += 1
+        out_ref[0, i] = (acc + b_ref[0, :]).astype(out_dt)
+        return carry
+
+    jax.lax.fori_loop(0, ds, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def conv3d_ms_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
+                             bias: jnp.ndarray, a: jnp.ndarray,
+                             c: jnp.ndarray, resolution: int,
+                             interpret: bool | None = None,
+                             ds: int | None = None) -> jnp.ndarray:
+    """conv3d_ms(swish(grid * a + c)) with per-(batch, channel) affine
+    a, c (B, Cin) f32 — the fused [GroupNorm-normalize -> swish ->
+    Conv3d] step of PVConv's voxel branch (inference; the training path
+    keeps the unfused ops for dropout + autodiff). Same contract as
+    conv3d_ms_pallas otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, r, _, _, cin = grid.shape
+    assert r == resolution
+    cout = weights.shape[-1]
+    hw = r * r
+    out_dt = grid.dtype
+    if ds is None:
+        ds = _ms_group_size(r, cin, cout)
+    assert ds, (r, cin, cout)
+    ngroups = r // ds
+
+    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
+                 ((0, 0), (1, ds - 1), (0, 0), (0, 0)))
+    wm = (weights.astype(jnp.bfloat16)
+          .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
+          .reshape(3 * cin, 9 * cout))
+    bm = bias.astype(jnp.float32).reshape(1, cout)
+
+    def blk_spec(off):
+        return pl.BlockSpec((1, ds, hw, cin),
+                            lambda bi, g, _o=off: (bi, g + _o, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_ms_prenorm_kernel, h=r, w=r, ds=ds,
+                          ngroups=ngroups),
+        grid=(b, ngroups),
+        in_specs=[
+            pl.BlockSpec((3 * cin, 9 * cout), lambda bi, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda bi, g: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin), lambda bi, g: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk_spec(0), blk_spec(1),
+        ],
+        out_specs=pl.BlockSpec((1, ds, hw, cout),
+                               lambda bi, g: (bi, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        scratch_shapes=[pltpu.VMEM((ds + 2, hw, cin), jnp.bfloat16)],
+        interpret=interpret,
+    )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
+      c.astype(jnp.float32).reshape(b, 1, cin), gp, gp)
+    return out.reshape(b, r, r, r, cout)
     """Empirical slice-group size: Mosaic's scoped-vmem stack accounting
     is opaque (a modelled 6 MB case measured 18.45 MB), so this is a
     table from the TPU compile sweep (tools/experiment_conv_ms.py):

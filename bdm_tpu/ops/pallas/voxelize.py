@@ -86,7 +86,6 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
     toolchain outright); the mask is built once per chunk and shared."""
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
-    n = ids_ref.shape[1]
     c = feats_ref.shape[-1]
     base = t_idx * tile_v
     vox_row = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_v), 1)
@@ -94,40 +93,38 @@ def _scatter_sorted_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
 
     start = lo_ref[b_idx, t_idx]
     end = lo_ref[b_idx, t_idx + 1]
-    acc = jnp.zeros((tile_v, c), jnp.float32)
-    n_chunks = (n + maxp - 1) // maxp
-    for k in range(n_chunks):
-        s = start + k * maxp
+    # dynamic-bound loop over the maxp-ALIGNED windows overlapping
+    # [start, end): a cond-gated static chunk loop cost ~1 us of scalar
+    # control flow per chunk per program (the padded variant measured
+    # 12 ms/step at 32 chunks). Aligned windows are disjoint (no
+    # double-count) and the id-mask alone filters other tiles' rows.
+    k0 = start // maxp
+    k1 = (end + maxp - 1) // maxp
 
-        def body(a, s=s):
-            s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
-            ids = ids_ref[0, pl.ds(s_c, maxp), :]          # (MAXP, 1)
-            pos = s_c + jax.lax.broadcasted_iota(jnp.int32, (maxp, 1), 0)
-            # lower bound is this CHUNK's start s, not the tile's: when the
-            # clamp shifts the window back (s > n - maxp) a tile-level bound
-            # would re-admit positions already summed by the previous chunk
-            # and double-count them (s >= start always, so this is tighter)
-            valid = (pos >= s) & (pos < end)
-            mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
-            parts = []
-            for g0, g1 in groups:
-                f = feats_ref[0, pl.ds(s_c, maxp), g0:g1].astype(
-                    jnp.bfloat16)
-                parts.append(jax.lax.dot_general(
-                    mask, f, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))   # (TILE_V, g)
-            return a + (parts[0] if len(parts) == 1
-                        else jnp.concatenate(parts, axis=1))
+    def body(k, a):
+        s = k * maxp
+        ids = ids_ref[0, pl.ds(s, maxp), :]                # (MAXP, 1)
+        mask = (ids == vox_row).astype(jnp.bfloat16)
+        parts = []
+        for g0, g1 in groups:
+            f = feats_ref[0, pl.ds(s, maxp), g0:g1].astype(
+                jnp.bfloat16)
+            parts.append(jax.lax.dot_general(
+                mask, f, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # (TILE_V, g)
+        return a + (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1))
 
-        acc = jax.lax.cond(s < end, body, lambda a: a, acc)
+    acc = jax.lax.fori_loop(k0, k1, body,
+                            jnp.zeros((tile_v, c), jnp.float32))
     out_ref[0] = acc
 
 
 # ------------------------------------------- sorted + padded-grid variant
 
-def _scatter_sorted_padded_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
+def _scatter_sorted_padded_kernel(lo_ref, ids_ref, *refs,
                                   tile_v: int, maxp: int, bps: int,
-                                  ntiles: int):
+                                  ntiles: int, c: int):
     """Sorted-range matmul-scatter writing DIRECTLY into the zero-padded
     (B, R+2, HW, C) grid layout the matmul-first conv consumes — the
     standalone scatter -> cast -> pad chain cost 2.0 + 1.2 + 0.8 ms/step
@@ -135,11 +132,25 @@ def _scatter_sorted_padded_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
     programs zero the D-pad rows; the middle `ntiles` run the sorted-range
     contraction for voxel tile (t - bps). Accumulation is f32 in VMEM,
     rounded once at the (typically bf16) output store — the same rounding
-    point as the standalone-scatter + cast pipeline."""
+    point as the standalone-scatter + cast pipeline.
+
+    Wide channels arrive as MULTIPLE <=128-lane bf16 feature refs
+    (`refs` = feats_g0, ..., feats_gk, out_ref): Mosaic crashes outright
+    on a dynamic sublane slice of a block wider than 128 lanes even with
+    static in-kernel lane groups (the lane split therefore happens at
+    the BlockSpec level; the caller lane-pads C to a multiple of 128 and
+    the result is sliced back before the store), and f32 refs at these
+    widths blow the 16 MB scoped-vmem budget once double-buffered — so
+    the refs are bf16, which in turn requires every dynamic sublane
+    start to be a PROVABLE multiple of 8: chunk starts are quantized
+    `(s // 8) * 8` and tile filtering relies on the voxel-id mask alone
+    (rows pulled in from a neighbouring tile by the rounding fail the
+    `ids == vox_row` compare; the per-chunk `pos >= s` bound still
+    prevents double-counting across clamped chunks)."""
+    *feats_refs, out_ref = refs
     t = pl.program_id(1)
     b_idx = pl.program_id(0)
     n = ids_ref.shape[1]
-    c = feats_ref.shape[-1]
     out_dt = out_ref.dtype
     is_pad = (t < bps) | (t >= bps + ntiles)
 
@@ -153,34 +164,37 @@ def _scatter_sorted_padded_kernel(lo_ref, ids_ref, feats_ref, out_ref, *,
         base = t_idx * tile_v
         vox_row = base + jax.lax.broadcasted_iota(
             jnp.int32, (1, tile_v), 1)
-        groups = [(g, min(g + 128, c)) for g in range(0, c, 128)]
         start = lo_ref[b_idx, t_idx]
         end = lo_ref[b_idx, t_idx + 1]
-        acc = jnp.zeros((tile_v, c), jnp.float32)
-        n_chunks = (n + maxp - 1) // maxp
-        for k in range(n_chunks):
-            s = start + k * maxp
+        cpad = sum(f.shape[-1] for f in feats_refs)
 
-            def body(a, s=s):
-                s_c = jnp.maximum(jnp.minimum(s, n - maxp), 0)
-                ids = ids_ref[0, pl.ds(s_c, maxp), :]       # (MAXP, 1)
-                pos = s_c + jax.lax.broadcasted_iota(
-                    jnp.int32, (maxp, 1), 0)
-                valid = (pos >= s) & (pos < end)
-                mask = ((ids == vox_row) & valid).astype(jnp.bfloat16)
-                parts = []
-                for g0, g1 in groups:
-                    f = feats_ref[0, pl.ds(s_c, maxp), g0:g1].astype(
-                        jnp.bfloat16)
-                    parts.append(jax.lax.dot_general(
-                        mask, f,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                return a + (parts[0] if len(parts) == 1
-                            else jnp.concatenate(parts, axis=1))
+        # dynamic-bound loop over exactly the maxp-ALIGNED windows that
+        # overlap [start, end): a static chunk loop with lax.cond gates
+        # cost ~1 us of scalar control flow per chunk per program —
+        # 12 ms/step at maxp=128 (32 conds x 544 programs), dwarfing the
+        # actual contraction. Aligned windows are provably 8-aligned
+        # (bf16 dynamic-sublane rule), disjoint (no double counting),
+        # and the id-mask alone filters neighbouring tiles' rows.
+        k0 = start // maxp
+        k1 = (end + maxp - 1) // maxp
 
-            acc = jax.lax.cond(s < end, body, lambda a: a, acc)
-        out_ref[0, 0] = acc.astype(out_dt)
+        def body(k, a):
+            s = k * maxp
+            ids = ids_ref[0, pl.ds(s, maxp), :]             # (MAXP, 1)
+            mask = (ids == vox_row).astype(jnp.bfloat16)
+            parts = []
+            for fr in feats_refs:
+                f = fr[0, pl.ds(s, maxp), :]
+                parts.append(jax.lax.dot_general(
+                    mask, f,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return a + (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1))
+
+        acc = jax.lax.fori_loop(
+            k0, k1, body, jnp.zeros((tile_v, cpad), jnp.float32))
+        out_ref[0, 0] = acc[:, :c].astype(out_dt)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -211,14 +225,36 @@ def scatter_sum_sorted_padded_pallas(features: jnp.ndarray,
     assert tile_lo.shape[1] == r3 // tile_v + 1, (
         tile_lo.shape, r3, tile_v)
     if maxp is None:
-        maxp = min(n, 1024)
+        # the mask CONTRACTION scales with maxp * tile_v * C (unlike the
+        # narrow scatter, C is wide here): small chunks keep the useful
+        # ratio high — mean occupancy is N / ntiles points per tile
+        # (64 at the production stage-0), and the chunk loop still
+        # covers clustered tiles (maxp=512 profiled 3.8 ms/step, 8x
+        # wasted MACs)
+        maxp = min(n, 128)
     maxp = min(maxp, n)
+    assert maxp % 8 == 0, maxp
+    if n % maxp:
+        pad_n = (-n) % maxp
+        ids = jnp.pad(ids, ((0, 0), (0, pad_n)), constant_values=r3)
+        features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
+        n = n + pad_n
     bps = hw // tile_v                     # out blocks per D-slice
     ntiles = r3 // tile_v
+    # lane-pad C to a multiple of 128 and hand the kernel <=128-lane
+    # bf16 feature blocks (dynamic sublane slices of wider blocks crash
+    # Mosaic; f32 refs blow scoped vmem); the kernel slices back to C
+    features = features.astype(jnp.bfloat16)
+    cpad = -(-c // 128) * 128 if c > 128 else c
+    if cpad != c:
+        features = jnp.pad(features, ((0, 0), (0, 0), (0, cpad - c)))
+    ngroups = -(-cpad // 128)
+    gw = cpad // ngroups
+    assert gw * ngroups == cpad and gw <= 128
 
     kernel = functools.partial(_scatter_sorted_padded_kernel,
                                tile_v=tile_v, maxp=maxp, bps=bps,
-                               ntiles=ntiles)
+                               ntiles=ntiles, c=c)
 
     def out_map(bi, t):
         row = jnp.where(t < bps, 0,
@@ -229,6 +265,11 @@ def scatter_sum_sorted_padded_pallas(features: jnp.ndarray,
                                   (t - bps) % bps))
         return (bi, row, col, 0)
 
+    feat_specs = [
+        pl.BlockSpec((1, n, gw), lambda bi, t, _g=g: (bi, 0, _g),
+                     memory_space=pltpu.VMEM)
+        for g in range(ngroups)
+    ]
     return pl.pallas_call(
         kernel,
         grid=(b, ntiles + 2 * bps),
@@ -236,21 +277,19 @@ def scatter_sum_sorted_padded_pallas(features: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_lo, full
             pl.BlockSpec((1, n, 1), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda bi, t: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + feat_specs,
         out_specs=pl.BlockSpec((1, 1, tile_v, c), out_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, r + 2, hw, c), out_dtype),
         interpret=jax.default_backend() != "tpu",
     )(tile_lo.astype(jnp.int32), ids.astype(jnp.int32).reshape(b, n, 1),
-      features)
+      *([features] * ngroups))
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
                               tile_lo: jnp.ndarray, num_segments: int,
-                              interpret: bool = False,
+                              interpret: bool | None = None,
                               tile_v: int | None = None,
                               maxp: int | None = None) -> jnp.ndarray:
     """Sorted-range matmul-scatter.
@@ -267,6 +306,8 @@ def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
     the chunk loop covers clustered tiles either way.
     """
     b, n, c = features.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if tile_v is None:
         tile_v = min(512, num_segments)
     assert num_segments % tile_v == 0, (num_segments, tile_v)
@@ -277,6 +318,14 @@ def scatter_sum_sorted_pallas(features: jnp.ndarray, ids: jnp.ndarray,
     if maxp is None:
         maxp = min(n, 1024)
     maxp = min(maxp, n)
+    if n % maxp:
+        # aligned windows must tile N: pad with an out-of-range id that
+        # matches no vox_row (num_segments), zero features
+        pad_n = (-n) % maxp
+        ids = jnp.pad(ids, ((0, 0), (0, pad_n)),
+                      constant_values=num_segments)
+        features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
+        n = n + pad_n
 
     grid = (b, num_segments // tile_v)
     kernel = functools.partial(_scatter_sorted_kernel, tile_v=tile_v,

@@ -309,9 +309,11 @@ def _avg_voxelize_padded_fwd_impl(features, ctx, resolution, out_dtype):
     if _use_pallas_scatter():
         from bdm_tpu.ops.pallas.voxelize import \
             scatter_sum_sorted_padded_pallas
+        # f32 at the kernel boundary: Mosaic cannot prove alignment of
+        # dynamic sublane slices of 16-bit blocks ("index in dimension 1
+        # is a multiple of 8"); the kernel casts to bf16 in VMEM
         return scatter_sum_sorted_padded_pallas(
-            fm.astype(jnp.bfloat16), ctx.ids_sorted, ctx.tile_lo,
-            resolution, out_dtype)
+            fm, ctx.ids_sorted, ctx.tile_lo, resolution, out_dtype)
     flat_ids = (ctx.ids_sorted.astype(jnp.int32)
                 + jnp.arange(b, dtype=jnp.int32)[:, None] * r3).reshape(-1)
     out = jax.ops.segment_sum(

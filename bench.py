@@ -155,7 +155,7 @@ def run_once(batch_size, points, repeats, quick, precision,
     # cached reruns skip that entirely
     jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_log_compiles", True)  # per-executable timings
     from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel, \
         bdm_blending

@@ -504,3 +504,19 @@ def test_avg_voxelize_padded_ctx_matches_and_grads(rng):
         f, ctx, r).reshape(b, r, r * r, c) * w[:, 1:r + 1]).sum())(feats)
     np.testing.assert_allclose(np.asarray(g_pad), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_attention_pallas_interpret(rng):
+    """Blocked attention kernel (interpret) == f32 softmax(qk^T)v, no
+    1/sqrt(C) scale — within bf16 input rounding."""
+    from bdm_tpu.ops.pallas.attention import attention_pallas
+    b, s, c = 2, 1024, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, c)).astype(
+        np.float32)).astype(jnp.bfloat16) for _ in range(3))
+    got = attention_pallas(q, k, v, True).astype(jnp.float32)
+    logits = jnp.einsum("bic,bjc->bij", q.astype(jnp.float32),
+                        k.astype(jnp.float32))
+    w = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("bij,bjc->bic", w, v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

@@ -29,7 +29,7 @@ sys.path.insert(0, "/root/repo")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from bdm_tpu.ops.pallas.conv3d import (  # noqa: E402
     conv3d_ms_pallas,

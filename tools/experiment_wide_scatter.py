@@ -25,7 +25,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from bdm_tpu.ops.voxelize import make_voxel_context  # noqa: E402
 from bdm_tpu.ops.pallas.voxelize import scatter_sum_sorted_pallas  # noqa: E402

@@ -24,7 +24,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 B, N, KK, S = 8, 4096, 4, 224
 HW = S * S

@@ -6,7 +6,7 @@ with: python tools/parse_xplane.py /tmp/bdm_prof_cur --iters 48 --agg
 import jax, jax.numpy as jnp, numpy as np, time
 jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import sys; sys.path.insert(0, "/root/repo")
 from bdm_tpu.samplers import PC2Model, ProjectionConfig
 from __graft_entry__ import _synthetic_batch
