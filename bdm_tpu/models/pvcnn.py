@@ -181,7 +181,8 @@ class VoxConv(nn.Module):
                  xt: Optional[jnp.ndarray] = None,
                  vox_ctx=None, resolution: Optional[int] = None,
                  prepadded: bool = False,
-                 prenorm: Optional[tuple] = None) -> jnp.ndarray:
+                 prenorm: Optional[tuple] = None,
+                 emit_stats: bool = False) -> jnp.ndarray:
         cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
@@ -229,6 +230,10 @@ class VoxConv(nn.Module):
             if impl == "ms":
                 # multi-slice kernel: beats per-slab by ~20% at R=32
                 # small C (TPU A/B, tools/experiment_conv_ms.py)
+                if emit_stats:
+                    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
+                    return conv3d_ms_pallas(x, kernel, bias, r, None,
+                                            None, "stats")
                 from bdm_tpu.ops.pallas.conv3d import conv3d_ms
                 return conv3d_ms(x, kernel, bias, r)
             from bdm_tpu.ops.pallas.conv3d import conv3d
@@ -322,6 +327,21 @@ class PVConv(nn.Module):
                         name="vconv0")(gp, prepadded=True,
                                        resolution=self.resolution)
         else:
+            import os
+            from bdm_tpu.ops.pallas.conv3d import _ms_group_size
+            # decide the fused-GN route BEFORE vconv0 so it can emit its
+            # own GroupNorm partial statistics (saves the separate
+            # convert_reduce stats passes over the grid)
+            fuse_gn = (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
+                       and on_tpu and deterministic
+                       and self.out_channels % 8 == 0
+                       and self.out_channels <= 256
+                       and bool(_ms_group_size(self.resolution,
+                                               self.out_channels,
+                                               self.out_channels)))
+            cin0 = features.shape[-1]
+            emit = (fuse_gn and cin0 <= 256
+                    and os.environ.get("BDM_CONV_IMPL", "ms") == "ms")
             g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
             g = to_vox_dtype(g)
 
@@ -332,8 +352,8 @@ class PVConv(nn.Module):
             # isolated compilation
             g = jax.lax.optimization_barrier(g)
             g = VoxConv(self.out_channels, dtype=self.dtype,
-                        name="vconv0")(g)
-        ch = g.shape[-1]
+                        name="vconv0")(g, emit_stats=emit)
+        ch = (g[0] if isinstance(g, tuple) else g).shape[-1]
         import os
         from bdm_tpu.ops.pallas.conv3d import _ms_group_size
         if (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
@@ -341,24 +361,23 @@ class PVConv(nn.Module):
                 and ch <= 256
                 and _ms_group_size(self.resolution, ch,
                                    self.out_channels)):
-            # MEASURED NET LOSS, default off: the fused kernel ran
-            # 4.09 ms/step for 7 convs vs ~1.7 plain-ms + ~0.8 of XLA
-            # normalize passes saved — the in-kernel f32 affine+swish
-            # over the (DS+2)/DS window costs more than the saved grid
-            # round-trip (profiled r3; kept for future slab caching)
-            # fused [GN0 -> swish -> vconv1] (inference): stats in XLA,
-            # normalize+swish inside the conv's scratch assembly — the
-            # ms kernel's halo redundancy is only (DS+2)/DS vs the 3x
-            # that killed the per-slab prenorm A/B. Dropout is identity
-            # here (deterministic); params alias the nn.GroupNorm tree.
+            # fused [GN0 -> swish -> vconv1] (inference): normalize+swish
+            # inside the conv's scratch assembly (halo redundancy only
+            # (DS+2)/DS vs the 3x of the per-slab prenorm that lost its
+            # A/B); stats come from vconv0's emitted partials when
+            # available, else one channel-first two-output grid reduce.
+            # Dropout is identity here (deterministic); params alias the
+            # nn.GroupNorm tree. Prenorm WITHOUT emitted stats measured
+            # a wash (30.0 vs 30.1 ms/step) — default off.
             scale, beta = GNAffineParams(ch, name="vnorm0")()
-            # channel-first reduction (one fused two-output grid pass,
-            # like the unfused GN's convert_reduce fusion) — a
-            # (B, S, 8, C/8) reshape+mean materialized a transposed f32
-            # intermediate (~0.8 ms/step profiled)
-            gf = g.astype(jnp.float32)
-            s1 = gf.sum(axis=(1, 2, 3))                    # (B, C)
-            s2 = (gf * gf).sum(axis=(1, 2, 3))
+            if isinstance(g, tuple):
+                g, partials = g
+                s = partials.sum(axis=1)                   # (B, 2, C)
+                s1, s2 = s[:, 0], s[:, 1]
+            else:
+                gf = g.astype(jnp.float32)
+                s1 = gf.sum(axis=(1, 2, 3))                # (B, C)
+                s2 = (gf * gf).sum(axis=(1, 2, 3))
             cnt = float(np.prod(g.shape[1:4]) * (ch // 8))
             mu_g = s1.reshape(-1, 8, ch // 8).sum(-1) / cnt
             m2_g = s2.reshape(-1, 8, ch // 8).sum(-1) / cnt
@@ -371,6 +390,7 @@ class PVConv(nn.Module):
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv1")(g, prenorm=(a_aff, c_aff))
         else:
+            assert not isinstance(g, tuple)
             g = jax.lax.optimization_barrier(g)
             g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                              name="vnorm0")(g)

@@ -333,6 +333,59 @@ def conv3d_wg_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
 
 # ------------------------------------------- multi-slice matmul variant
 
+def _conv_ms_stats_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, st_ref,
+                          scr_ref, *, h, w, ds):
+    """conv_ms that ALSO emits per-program partial GroupNorm statistics
+    of its output — (1, 1, 2, Cout): [sum, sum-of-squares] over the DS
+    slices, f32 before the output cast. The caller reduces the partials
+    over groups and computes the GN affine, removing the separate
+    convert_reduce stats passes over the grid (profiled ~0.5 ms/step
+    across the vnorm0 sites) when combined with the prenorm conv."""
+    hw = h * w
+    cout = out_ref.shape[-1]
+    out_dt = out_ref.dtype
+
+    scr_ref[0:ds] = a_ref[0]
+    scr_ref[ds:ds + 2] = n_ref[0, 0:2]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ys = rows // w
+    xs = rows % w
+    masks = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            masks.append((ys + dy >= 0) & (ys + dy < h)
+                         & (xs + dx >= 0) & (xs + dx < w))
+
+    def body(i, carry):
+        s1, s2 = carry
+        slab3 = jnp.concatenate(
+            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
+            axis=-1)                                        # (HW, 3*Cin)
+        m = jnp.dot(slab3, w_ref[...],
+                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
+        acc = jnp.zeros((hw, cout), jnp.float32)
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                blk = m[:, j * cout:(j + 1) * cout]
+                s = dy * w + dx
+                if s:
+                    k = s % hw
+                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
+                acc = acc + jnp.where(masks[j], blk, 0.0)
+                j += 1
+        val = acc + b_ref[0, :]
+        out_ref[0, i] = val.astype(out_dt)
+        return (s1 + jnp.sum(val, axis=0, keepdims=True),
+                s2 + jnp.sum(val * val, axis=0, keepdims=True))
+
+    s1, s2 = jax.lax.fori_loop(
+        0, ds, body, (jnp.zeros((1, cout), jnp.float32),
+                      jnp.zeros((1, cout), jnp.float32)))
+    st_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)        # (2, Cout)
+
+
 def _conv_ms_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, scr_ref, *,
                     h, w, ds):
     """Per (batch, slice-GROUP): compute DS consecutive output D-slices.
@@ -627,9 +680,24 @@ def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     if taps == "pad":
         kern = functools.partial(_conv_ms_pad_kernel, h=r, w=r, ds=ds)
         scratch.append(pltpu.VMEM((r + 2, r + 2, 9 * cout), jnp.float32))
+    elif taps == "stats":
+        kern = functools.partial(_conv_ms_stats_kernel, h=r, w=r, ds=ds)
     else:
         assert taps == "roll", taps
         kern = functools.partial(_conv_ms_kernel, h=r, w=r, ds=ds)
+
+    out_specs = pl.BlockSpec((1, ds, hw, cout),
+                             lambda bi, g: (bi, g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, r, hw, cout), out_dt)
+    if taps == "stats":
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, 2, cout),
+                                  lambda bi, g: (bi, g, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, ngroups, 2, cout),
+                                          jnp.float32)]
 
     out = pl.pallas_call(
         kern,
@@ -641,13 +709,14 @@ def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             blk_spec(0), blk_spec(1),
         ],
-        out_specs=pl.BlockSpec((1, ds, hw, cout),
-                               lambda bi, g: (bi, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(wm, bm, gp, gp)
+    if taps == "stats":
+        grid_out, partials = out
+        return grid_out.reshape(b, r, r, r, cout), partials
     return out.reshape(b, r, r, r, cout)
 
 
