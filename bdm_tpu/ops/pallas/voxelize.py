@@ -142,11 +142,11 @@ def _scatter_sorted_padded_kernel(lo_ref, ids_ref, *refs,
     the result is sliced back before the store), and f32 refs at these
     widths blow the 16 MB scoped-vmem budget once double-buffered — so
     the refs are bf16, which in turn requires every dynamic sublane
-    start to be a PROVABLE multiple of 8: chunk starts are quantized
-    `(s // 8) * 8` and tile filtering relies on the voxel-id mask alone
-    (rows pulled in from a neighbouring tile by the rounding fail the
-    `ids == vox_row` compare; the per-chunk `pos >= s` bound still
-    prevents double-counting across clamped chunks)."""
+    start to be a PROVABLE multiple of 8: the chunk loop walks
+    maxp-ALIGNED windows (s = k * maxp with maxp % 8 == 0), which are
+    also disjoint (no double counting) — tile filtering relies on the
+    voxel-id mask alone (rows of neighbouring tiles inside a window
+    fail the `ids == vox_row` compare)."""
     *feats_refs, out_ref = refs
     t = pl.program_id(1)
     b_idx = pl.program_id(0)
