@@ -24,6 +24,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -155,11 +157,13 @@ class VoxConv(nn.Module):
     """3x3x3 SAME voxel convolution with nn.Conv's exact parameter layout
     ({kernel: (3,3,3,Cin,Cout), bias: (Cout,)} — checkpoint-compatible).
 
-    On TPU dispatches to the Pallas im2col kernel
-    (`ops/pallas/conv3d.py`) for Cin <= 256 — profiled 0.66 ms vs 1.8-6.1
-    ms for XLA's conv at (8, 32^3, 32); the 390-channel stage-0 conv keeps
-    XLA's conv, which wins at that width. Same bf16-input precision as
-    XLA's default f32 conv on this MXU.
+    On TPU dispatches to the Pallas multi-slice conv (`conv3d_ms`,
+    `ops/pallas/conv3d.py`) for Cin <= 256 (conv family 6.7 -> 3.5
+    ms/step vs the per-slab im2col kernel; XLA's conv builds
+    layout-hostile fusions in-graph) and to the matmul-first `conv3d_mm`
+    for wider inputs (the 390-channel stage-0). Same bf16-input
+    precision as XLA's default f32 conv on this MXU. BDM_CONV_IMPL
+    selects slab/ms/xla for A/B runs.
 
     Pre-contracted mode (`pre_tap`): the per-point tap values
     `rest @ W_t[3:]` were computed once per sample by contracting the
@@ -220,7 +224,6 @@ class VoxConv(nn.Module):
             return (out + bias.astype(jnp.float32)).astype(
                 self.dtype or jnp.float32)
         r = x.shape[1]
-        import os
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
         impl = os.environ.get("BDM_CONV_IMPL", "ms")
         if (impl != "xla" and _use_pallas_scatter() and cin <= 256
@@ -327,7 +330,6 @@ class PVConv(nn.Module):
                         name="vconv0")(gp, prepadded=True,
                                        resolution=self.resolution)
         else:
-            import os
             from bdm_tpu.ops.pallas.conv3d import _ms_group_size
             # decide the fused-GN route BEFORE vconv0 so it can emit its
             # own GroupNorm partial statistics (saves the separate
@@ -354,7 +356,6 @@ class PVConv(nn.Module):
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv0")(g, emit_stats=emit)
         ch = (g[0] if isinstance(g, tuple) else g).shape[-1]
-        import os
         from bdm_tpu.ops.pallas.conv3d import _ms_group_size
         if (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
                 and on_tpu and deterministic and ch % 8 == 0
