@@ -520,3 +520,45 @@ def test_attention_pallas_interpret(rng):
     want = jnp.einsum("bij,bjc->bic", w, v.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_conv3d_ms_shape_sweep(rng):
+    """conv3d_ms == per-slab kernel across production-like R/C combos
+    (interpret mode), covering every ds-table branch incl. odd batch."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas, conv3d_pallas
+    for b, r, cin, cout in [(1, 2, 8, 8), (3, 4, 16, 8), (2, 8, 16, 32),
+                            (1, 16, 8, 16), (1, 32, 16, 16)]:
+        x = jnp.asarray(rng.standard_normal((b, r, r, r, cin)).astype(
+            np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray((rng.standard_normal((3, 3, 3, cin, cout)) * 0.2)
+                        .astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        got = conv3d_ms_pallas(x, k, bias, r, True)
+        ref = conv3d_pallas(x, k, bias, r, True)
+        err = float(jnp.abs(got.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        scale = float(jnp.abs(ref.astype(jnp.float32)).max()) + 1e-6
+        assert err <= 0.05 * scale + 0.02, (b, r, cin, cout, err, scale)
+
+
+def test_conv3d_ms_stats_variant(rng):
+    """The 'stats' variant returns the same grid plus exact per-group
+    [sum, sum^2] partials of the f32 output."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
+    b, r, cin, cout = 2, 8, 16, 16
+    x = jnp.asarray(rng.standard_normal((b, r, r, r, cin)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray((rng.standard_normal((3, 3, 3, cin, cout)) * 0.2)
+                    .astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    plain = conv3d_ms_pallas(x, k, bias, r, True)
+    got, partials = conv3d_ms_pallas(x, k, bias, r, True, None, "stats")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+    s = np.asarray(partials).sum(axis=1)              # (B, 2, C)
+    # partials accumulate the f32 conv output BEFORE the bf16 store, so
+    # they differ from stats of the rounded grid by O(bf16 eps)
+    gf = np.asarray(got.astype(jnp.float32))
+    np.testing.assert_allclose(s[:, 0], gf.sum(axis=(1, 2, 3)),
+                               rtol=2e-2, atol=0.5)
+    np.testing.assert_allclose(s[:, 1], (gf * gf).sum(axis=(1, 2, 3)),
+                               rtol=2e-2, atol=1.0)
