@@ -57,15 +57,27 @@ def projection_config(cfg: ProjectConfig) -> ProjectionConfig:
     )
 
 
-def build_pc2(cfg: ProjectConfig, ckpt: Optional[str] = None):
+def apply_run_device(cfg: ProjectConfig) -> None:
+    """`run.cpu=True` forces the CPU backend (the reference's
+    `Accelerator(cpu=cfg.run.cpu)`, `main.py:41`). Must run before the
+    first backend touch (set_seed creates a PRNG key)."""
+    if cfg.run.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def build_pc2(cfg: ProjectConfig, ckpt: Optional[str] = None,
+              from_ema: bool = False):
     """Build the PC2 model; load params from an orbax checkpoint if given,
-    else randomly initialize."""
+    else randomly initialize. `from_ema` prefers the checkpoint's EMA
+    parameters (`run.sample_from_ema`, reference `main.py:150`)."""
     pc2 = PC2Model(projection_config(cfg))
     params = pc2.init_params(jax.random.PRNGKey(cfg.run.seed),
                              num_points=min(1024, cfg.dataset.max_points))
     if ckpt:
         restored = load_params(_params_path(ckpt), template=None)
-        params = _extract_params(restored, params)
+        params = _extract_params(restored, params, from_ema=from_ema)
+    elif from_ema:
+        raise ValueError("run.sample_from_ema needs checkpoint.resume")
     return pc2, params
 
 
@@ -96,13 +108,25 @@ def _params_path(ckpt: str) -> str:
     return ckpt
 
 
-def _extract_params(restored, template):
+def _extract_params(restored, template, from_ema: bool = False):
     """Train checkpoints store {'params': ...}; bare param saves store the
-    tree directly."""
+    tree directly. `from_ema` selects 'ema_params' and errors when the
+    checkpoint has none (a silent fallback would sample the raw weights
+    while claiming EMA)."""
     if isinstance(restored, dict) and "params" in restored and \
             set(restored.keys()) <= {"params", "ema_params", "opt_state",
                                      "step"}:
+        if from_ema:
+            if "ema_params" not in restored:
+                raise ValueError(
+                    "run.sample_from_ema=True but the checkpoint holds no "
+                    "ema_params (trained with ema.use_ema=False?)")
+            return restored["ema_params"]
         return restored["params"]
+    if from_ema:
+        raise ValueError(
+            "run.sample_from_ema=True needs a train checkpoint with "
+            "ema_params; got a bare parameter tree")
     return restored
 
 

@@ -29,7 +29,7 @@ class RunConfig:
     cpu: bool = False
     seed: int = 42
     manual_seed: Optional[int] = None
-    val_before_training: bool = False
+    val_before_training: bool = False  # schema parity (dead in reference)
     vis_before_training: bool = False
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
@@ -98,6 +98,8 @@ class DatasetConfig:
     """Union of `ShapeNetR2N2Config` / `Pix3DConfig`
     (`structured.py:128-164`)."""
     type: str = "shapenet_r2n2"
+    # eval_split / restrict_model_ids / mask_images: schema parity only —
+    # the reference never consumes them outside its config either
     eval_split: str = "val"
     max_points: int = 16_384
     image_size: int = 224
@@ -126,6 +128,9 @@ class DataloaderConfig:
 
 @dataclass
 class LossConfig:
+    # schema parity only: the reference declares these weights but never
+    # reads them either (`grep -r '\.diffusion_weight' experiments/` is
+    # empty) — its losses are plain eps-MSE / rgb-MSE
     diffusion_weight: float = 1.0
     rgb_weight: float = 1.0
     consistency_weight: float = 1.0

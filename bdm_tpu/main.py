@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from bdm_tpu.cli import (
+    apply_run_device,
     build_pc2,
     sample_output_dirs,
     save_batch_outputs,
@@ -45,12 +46,31 @@ def train(cfg: ProjectConfig) -> None:
     pc2, params = build_pc2(cfg, cfg.checkpoint.resume if not
                             cfg.checkpoint.resume_training else None)
     loader_train, loader_val, _ = get_dataset(cfg)
+    # `lr = batch_size * base_lr` when scale_learning_rate_with_batch_size
+    # (reference `training_utils.py:34-37`; the num_processes factor is 1
+    # here — the dataloader batch is already the GLOBAL batch, sharded
+    # over the mesh rather than replicated per process)
+    lr = cfg.optimizer.lr
+    if cfg.optimizer.scale_learning_rate_with_batch_size:
+        lr = cfg.dataloader.batch_size * lr
+        print(f"lr = {cfg.dataloader.batch_size} (batch_size) * "
+              f"{cfg.optimizer.lr} (base lr) = {lr}")
+    if cfg.checkpoint.resume_training and (
+            cfg.checkpoint.resume_training_scheduler
+            != cfg.checkpoint.resume_training_optimizer):
+        # optax fuses the lr schedule into the optimizer state (the
+        # schedule count lives in opt_state), so the reference's split
+        # restore (`training_utils.py:317-330`) cannot be expressed
+        raise ValueError(
+            "resume_training_scheduler must equal "
+            "resume_training_optimizer on this backend: the lr-schedule "
+            "step is part of the optimizer state")
     schedule = make_lr_schedule(
-        cfg.scheduler.name, lr=cfg.optimizer.lr,
+        cfg.scheduler.name, lr=lr,
         num_warmup_steps=cfg.scheduler.num_warmup_steps,
         num_training_steps=int(cfg.scheduler.num_training_steps))
     tx = make_optimizer(
-        cfg.optimizer.name, lr=cfg.optimizer.lr,
+        cfg.optimizer.name, lr=lr,
         weight_decay=cfg.optimizer.weight_decay,
         betas=tuple(cfg.optimizer.kwargs.get("betas", (0.95, 0.999))),
         clip_grad_norm=cfg.optimizer.clip_grad_norm, schedule=schedule,
@@ -85,9 +105,28 @@ def train(cfg: ProjectConfig) -> None:
     if cfg.run.val_freq and cfg.run.val_freq > 0:
         callbacks.append(make_val_callback(
             cfg, pc2, loader_val, mesh, logger, wandb_logger))
+    if cfg.run.vis_freq and cfg.run.vis_freq > 0:
+        callbacks.append(make_vis_callback(cfg, pc2, loader_val, ckpt_dir))
+    if cfg.run.vis_before_training:
+        # render once before the loop (reference `main.py:132`)
+        make_vis_callback(cfg, pc2, loader_val, ckpt_dir, force=True)(
+            0, state, {})
+
+    train_iter = loader_train.infinite()
+    if cfg.run.limit_train_batches is not None:
+        # cap the epoch at N batches (reference `main.py:199-201`): cycle
+        # the first N batches forever
+        import itertools
+        head = list(itertools.islice(iter(loader_train),
+                                     int(cfg.run.limit_train_batches)))
+
+        def _cycle(bs):
+            while True:
+                yield from bs
+        train_iter = _cycle(head)
 
     state = train_loop(
-        state, pc2.loss, tx, loader_train.infinite(),
+        state, pc2.loss, tx, train_iter,
         max_steps=cfg.run.max_steps, key=jax.random.PRNGKey(cfg.run.seed),
         mesh=mesh, checkpoint_dir=ckpt_dir,
         checkpoint_freq=cfg.run.checkpoint_freq,
@@ -139,8 +178,49 @@ def make_val_callback(cfg: ProjectConfig, pc2, loader_val, mesh, logger,
     return val_cb
 
 
+def make_vis_callback(cfg: ProjectConfig, pc2, loader_val, ckpt_dir,
+                      force: bool = False):
+    """Every `run.vis_freq` steps sample ONE held-out batch with the
+    current (EMA) weights and save scatter renders under the run dir —
+    the reference's in-loop `visualize` (`main.py:277-285`, and
+    `run.vis_before_training` for the pre-loop call at `main.py:132`)."""
+    from bdm_tpu.data.loader import model_batch
+    batch = None
+
+    def vis_cb(step, state, metrics):
+        nonlocal batch
+        if not force and (cfg.run.vis_freq <= 0
+                          or step % cfg.run.vis_freq != 0 or step == 0):
+            return
+        if batch is None:
+            batch = model_batch(next(iter(loader_val)))
+        params = state.ema_params if state.ema_params is not None \
+            else state.params
+        pred = pc2.sample(
+            params, batch, jax.random.PRNGKey(0),
+            num_points=cfg.dataset.max_points,
+            scheduler=cfg.run.diffusion_scheduler,
+            num_inference_steps=cfg.run.num_inference_steps)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import os
+        out = os.path.join(ckpt_dir, f"vis_step{int(step):08d}.png")
+        pts = np.asarray(pred[0])
+        fig = plt.figure(figsize=(4, 4))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 2], pts[:, 1], s=0.5)
+        ax.set_axis_off()
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        print(f"vis @ step {step}: {out}")
+
+    return vis_cb
+
+
 def sample(cfg: ProjectConfig) -> None:
-    pc2, params = build_pc2(cfg, cfg.checkpoint.resume)
+    pc2, params = build_pc2(cfg, cfg.checkpoint.resume,
+                            from_ema=cfg.run.sample_from_ema)
     _, loader_val, _ = get_dataset(cfg)
     pred_dir, gt_dir = sample_output_dirs(cfg, "sample")
 
@@ -205,6 +285,7 @@ def vis(cfg: ProjectConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    apply_run_device(cfg)
     setup_compile_cache()
     set_seed(cfg.run.seed)
     if cfg.run.job == "train":

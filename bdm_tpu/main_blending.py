@@ -15,6 +15,7 @@ import sys
 import jax
 
 from bdm_tpu.cli import (
+    apply_run_device,
     build_pc2,
     build_pvd,
     resolve_milestones,
@@ -62,6 +63,7 @@ def sample_bdm_blending(cfg: ProjectConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    apply_run_device(cfg)
     setup_compile_cache()
     set_seed(cfg.run.seed)
     if cfg.run.job == "sample_bdm_blending":

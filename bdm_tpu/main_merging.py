@@ -19,6 +19,7 @@ import sys
 import jax
 
 from bdm_tpu.cli import (
+    apply_run_device,
     build_fusion,
     build_pc2,
     build_pvd,
@@ -124,6 +125,7 @@ def sample_bdm_merging(cfg: ProjectConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    apply_run_device(cfg)
     setup_compile_cache()
     set_seed(cfg.run.seed)
     if cfg.run.job == "training_bdm_merging":

@@ -28,7 +28,7 @@ BASE_ARGS = [
 
 @pytest.fixture
 def tiny_builders(monkeypatch):
-    def build_pc2(cfg, ckpt=None):
+    def build_pc2(cfg, ckpt=None, from_ema=False):
         pc2 = PC2Model(cli.projection_config(cfg), sa_blocks=TINY_SA,
                        fp_blocks=TINY_FP)
         params = pc2.init_params(jax.random.PRNGKey(0),

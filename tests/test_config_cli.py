@@ -76,3 +76,18 @@ def test_evaluation_cli_end_to_end(tmp_path, rng):
     assert len(values) == 3 and max(values) < 1e-3 and not nans
     values, _ = evaluate_dirs(str(pred), str(gt), "f1")
     assert min(values) > 0.999
+
+
+def test_sample_from_ema_param_extraction():
+    """run.sample_from_ema selects ema_params and errors when absent
+    (never silently falls back to raw weights)."""
+    import pytest
+    from bdm_tpu.cli import _extract_params
+    ckpt = {"params": {"w": 1}, "ema_params": {"w": 2}, "step": 3}
+    assert _extract_params(ckpt, None) == {"w": 1}
+    assert _extract_params(ckpt, None, from_ema=True) == {"w": 2}
+    with pytest.raises(ValueError, match="ema_params"):
+        _extract_params({"params": {"w": 1}, "step": 3}, None,
+                        from_ema=True)
+    with pytest.raises(ValueError, match="bare"):
+        _extract_params({"w": 1}, None, from_ema=True)
