@@ -72,4 +72,21 @@ def save_params(path: str, params: Any) -> str:
 def load_params(path: str, template: Any = None) -> Any:
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path, item=template)
+        try:
+            return ckptr.restore(path, item=template)
+        except ValueError:
+            # checkpoints written on another topology pin device
+            # shardings (the `_sharding` sidecar); a template-free
+            # restore then fails with "sharding ... should be specified".
+            # Restore as host numpy arrays instead — consumers re-place
+            # the tree on whatever devices they use (e.g. a TPU-trained
+            # checkpoint restored for CPU sampling or conversion).
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", meta)
+            tree = getattr(tree, "tree", tree)
+            item = jax.tree.map(
+                lambda m: np.zeros(m.shape, m.dtype), tree)
+            restore_args = ocp.checkpoint_utils.construct_restore_args(
+                item)
+            return ckptr.restore(path, item=item,
+                                 restore_args=restore_args)

@@ -265,3 +265,22 @@ def test_masked_conditioning_loss_and_sample():
                        num_inference_steps=2)
     assert out.shape == (B, N, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_params_cross_topology_checkpoint():
+    """A TPU-trained checkpoint (device shardings pinned in its
+    `_sharding` sidecar) must restore on the CPU backend without a
+    template — the numpy fallback in load_params. Uses the committed
+    training-demo checkpoint as the fixture."""
+    import os
+    import jax
+    import pytest
+    from bdm_tpu.train.checkpoint import load_params
+    path = "runs/pc2_synth_demo/checkpoint-latest"
+    if not os.path.isdir(path):
+        pytest.skip("demo checkpoint not present")
+    restored = load_params(path, template=None)
+    assert {"params", "step"} <= set(restored)
+    assert int(restored["step"]) == 1000
+    n = sum(x.size for x in jax.tree.leaves(restored["params"]))
+    assert n > 1_000_000
