@@ -31,7 +31,10 @@ from bdm_tpu.samplers import bdm_blending
 
 def sample_bdm_blending(cfg: ProjectConfig) -> None:
     recon_ckpt = cfg.aux_run.recon_ckpt or cfg.checkpoint.resume
-    pc2, pc2_params = build_pc2(cfg, recon_ckpt)
+    # run.sample_from_ema selects the recon checkpoint's EMA weights
+    # (reference main_blending.py:148-157)
+    pc2, pc2_params = build_pc2(cfg, recon_ckpt,
+                                from_ema=cfg.run.sample_from_ema)
     pvd, pvd_params = build_pvd(cfg, cfg.aux_run.prior_ckpt)
     _, loader_val, _ = get_dataset(cfg)
     milestones = resolve_milestones(cfg)
