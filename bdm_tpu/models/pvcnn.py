@@ -192,11 +192,17 @@ class VoxConv(nn.Module):
                             (3, 3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if prepadded:
-            # (B, R+2, HW, Cin) fused-scatter layout; the matmul-first
-            # conv consumes it without a pad pass
+            # (B, R+2, HW, Cin) fused-scatter layout, consumed without a
+            # pad pass: multi-slice kernel for narrow Cin (the K=3*Cin
+            # contraction fills the systolic depth), matmul-first for
+            # wide Cin (the 390-ch stage-0 conv)
+            r = resolution or x.shape[1] - 2
+            if (cin <= 256 and r % 2 == 0
+                    and os.environ.get("BDM_CONV_IMPL", "ms") == "ms"):
+                from bdm_tpu.ops.pallas.conv3d import conv3d_ms_prepadded
+                return conv3d_ms_prepadded(x, kernel, bias, r)
             from bdm_tpu.ops.pallas.conv3d import conv3d_mm_prepadded
-            return conv3d_mm_prepadded(x, kernel, bias,
-                                       resolution or x.shape[1] - 2)
+            return conv3d_mm_prepadded(x, kernel, bias, r)
         if prenorm is not None:
             # fused [GN-normalize -> swish -> conv] (inference):
             # a = gamma*rsqrt(var+eps), c = beta - mean*a per (B, Cin)
@@ -344,17 +350,32 @@ class PVConv(nn.Module):
             cin0 = features.shape[-1]
             emit = (fuse_gn and cin0 <= 256
                     and os.environ.get("BDM_CONV_IMPL", "ms") == "ms")
-            g = ops.avg_voxelize_ctx(features, vox_ctx, self.resolution)
-            g = to_vox_dtype(g)
+            if (on_tpu and not emit and self.resolution % 2 == 0
+                    and os.environ.get("BDM_CONV_IMPL", "ms") == "ms"):
+                # narrow branches ride the same fused scatter ->
+                # D-padded bf16 conv layout as stage-0: one Pallas
+                # kernel replaces the scatter + f32->bf16 convert (+ the
+                # conv's pad pass) chain — profiled 0.64 + 0.18 ms per
+                # branch at C=64/R=32 before the fusion
+                gp = ops.avg_voxelize_padded_ctx(features, vox_ctx,
+                                                 self.resolution)
+                gp = jax.lax.optimization_barrier(gp)
+                g = VoxConv(self.out_channels, dtype=self.dtype,
+                            name="vconv0")(gp, prepadded=True,
+                                           resolution=self.resolution)
+            else:
+                g = ops.avg_voxelize_ctx(features, vox_ctx,
+                                         self.resolution)
+                g = to_vox_dtype(g)
 
-            # fusion breaks: XLA otherwise builds a conv+GN-stats
-            # mega-fusion whose layout runs the R=32 conv+GN ~3.5x slower
-            # than the split kernels (profiled 6.1 ms in-graph vs 1.8 ms
-            # isolated); barriers on the conv boundaries reproduce the
-            # isolated compilation
-            g = jax.lax.optimization_barrier(g)
-            g = VoxConv(self.out_channels, dtype=self.dtype,
-                        name="vconv0")(g, emit_stats=emit)
+                # fusion breaks: XLA otherwise builds a conv+GN-stats
+                # mega-fusion whose layout runs the R=32 conv+GN ~3.5x
+                # slower than the split kernels (profiled 6.1 ms
+                # in-graph vs 1.8 ms isolated); barriers on the conv
+                # boundaries reproduce the isolated compilation
+                g = jax.lax.optimization_barrier(g)
+                g = VoxConv(self.out_channels, dtype=self.dtype,
+                            name="vconv0")(g, emit_stats=emit)
         ch = (g[0] if isinstance(g, tuple) else g).shape[-1]
         from bdm_tpu.ops.pallas.conv3d import _ms_group_size
         if (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"

@@ -625,46 +625,53 @@ def conv3d_ms_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
       c.astype(jnp.float32).reshape(b, 1, cin), gp, gp)
     return out.reshape(b, r, r, r, cout)
-    """Empirical slice-group size: Mosaic's scoped-vmem stack accounting
-    is opaque (a modelled 6 MB case measured 18.45 MB), so this is a
-    table from the TPU compile sweep (tools/experiment_conv_ms.py):
-    ds=8 OOMs at R=32 for any C; ds=4 compiles and ties ds=2 on speed;
-    R<=16 compiles at ds=8 for C<=256."""
-    if r % 2:
-        return 0                                # >= 2: halo needs 2 rows
-    if r >= 32:
-        return 4 if r % 4 == 0 else 2
-    return max(d for d in (8, 4, 2) if r % d == 0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                      bias: jnp.ndarray, resolution: int,
                      interpret: bool | None = None,
                      ds: int | None = None,
-                     taps: str = "roll") -> jnp.ndarray:
+                     taps: str = "roll",
+                     prepadded: bool = False) -> jnp.ndarray:
     """Multi-slice matmul-first 3x3x3 SAME conv (see _conv_ms_kernel).
     Same contract as conv3d_pallas. `ds` overrides the slice-group size
     (must divide R, >= 2); `taps` selects the in-kernel tap accumulation
-    ("roll" = masked row-rolls, "pad" = zero-bordered scratch window)."""
+    ("roll" = masked row-rolls, "pad" = zero-bordered scratch window).
+    With `prepadded`, `grid` is already the D-padded (B, R+2, HW, Cin)
+    bf16 layout that `scatter_sum_sorted_padded_pallas` emits; ds is then
+    fixed to 2 (the only group size whose halo layout, 1 front + ds-1
+    back zero rows, coincides with the R+2 pad — and ds=4 tied ds=2 on
+    speed in the TPU sweep anyway)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, r, _, _, cin = grid.shape
-    assert r == resolution
-    cout = weights.shape[-1]
-    hw = r * r
-    out_dt = grid.dtype
-    if ds is None:
-        ds = _ms_group_size(r, cin, cout)
-    if not ds:
-        return conv3d_pallas(grid, weights, bias, resolution,
-                             interpret=interpret)
+    if prepadded:
+        b, rp2, hw, cin = grid.shape
+        r = rp2 - 2
+        assert r == resolution and hw == r * r, grid.shape
+        assert r % 2 == 0 and taps == "roll", (r, taps)
+        cout = weights.shape[-1]
+        out_dt = grid.dtype
+        ds = 2
+        # production inputs are already bf16 (the fused scatter's store
+        # dtype); the cast is a no-op there but keeps f32 callers legal
+        gp = grid.astype(jnp.bfloat16)
+    else:
+        b, r, _, _, cin = grid.shape
+        assert r == resolution
+        cout = weights.shape[-1]
+        hw = r * r
+        out_dt = grid.dtype
+        if ds is None:
+            ds = _ms_group_size(r, cin, cout)
+        if not ds:
+            return conv3d_pallas(grid, weights, bias, resolution,
+                                 interpret=interpret)
+        # padded D length (ngroups + 1) * ds so the halo block (group
+        # g+1) is always in range; rows beyond r+1 are zero, never read
+        gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
+                     ((0, 0), (1, ds - 1), (0, 0), (0, 0)))
     ngroups = r // ds
-
-    # padded D length (ngroups + 1) * ds so the halo block (group g+1) is
-    # always in range; rows beyond r+1 are zero and never read
-    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
-                 ((0, 0), (1, ds - 1), (0, 0), (0, 0)))
     # (3*Cin, 9*Cout), dz-major rows, (dy, dx)-major out blocks
     wm = (weights.astype(jnp.bfloat16)
           .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
@@ -734,6 +741,35 @@ def _conv3d_ms_fwd(grid, weights, bias, resolution):
 
 
 conv3d_ms.defvjp(_conv3d_ms_fwd, _conv3d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_ms_prepadded(gp: jnp.ndarray, weights: jnp.ndarray,
+                        bias: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Differentiable multi-slice conv over an already D-padded
+    (B, R+2, HW, Cin) grid (the fused scatter output); skips the pad
+    pass. Returns (B, R, R, R, Cout) in the grid dtype."""
+    return conv3d_ms_pallas(gp, weights, bias, resolution, None, None,
+                            "roll", True)
+
+
+def _conv3d_ms_prepadded_fwd(gp, weights, bias, resolution):
+    return conv3d_ms_prepadded(gp, weights, bias, resolution), (gp, weights)
+
+
+def _conv3d_ms_prepadded_bwd(resolution, res, g):
+    gp, weights = res
+    r = resolution
+    b, _, hw, cin = gp.shape
+    grid = gp[:, 1:r + 1].reshape(b, r, r, r, cin)
+    dgrid, dw, db = _conv3d_bwd(resolution, (grid, weights), g)
+    dgp = jnp.pad(dgrid.reshape(b, r, hw, cin),
+                  ((0, 0), (1, 1), (0, 0), (0, 0))).astype(gp.dtype)
+    return (dgp, dw, db)
+
+
+conv3d_ms_prepadded.defvjp(_conv3d_ms_prepadded_fwd,
+                           _conv3d_ms_prepadded_bwd)
 
 
 # ------------------------------------------------- matmul-first variant

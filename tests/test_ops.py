@@ -562,3 +562,50 @@ def test_conv3d_ms_stats_variant(rng):
                                rtol=2e-2, atol=0.5)
     np.testing.assert_allclose(s[:, 1], (gf * gf).sum(axis=(1, 2, 3)),
                                rtol=2e-2, atol=1.0)
+
+
+def test_conv3d_ms_prepadded_matches_unpadded(rng):
+    """conv3d_ms over the D-padded (B, R+2, HW, C) fused-scatter layout
+    == conv3d_ms over the plain grid (the narrow-branch PVConv route)."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
+    for b, r, cin, cout in [(2, 4, 16, 8), (1, 8, 32, 16)]:
+        x = jnp.asarray(rng.standard_normal((b, r, r, r, cin)).astype(
+            np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray((rng.standard_normal((3, 3, 3, cin, cout)) * 0.2)
+                        .astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        want = conv3d_ms_pallas(x, k, bias, r, True, 2)
+        gp = jnp.pad(x.reshape(b, r, r * r, cin),
+                     ((0, 0), (1, 1), (0, 0), (0, 0)))
+        got = conv3d_ms_pallas(gp, k, bias, r, True, None, "roll", True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_conv3d_ms_prepadded_grad_matches(rng):
+    """conv3d_ms_prepadded (custom-vjp wrapper) gradient == XLA conv's
+    through the pad rows (which carry zero cotangent)."""
+    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_prepadded
+    b, r, cin, cout = 1, 4, 6, 4
+    x = rng.standard_normal((b, r, r * r, cin)).astype(np.float32)
+    gp = jnp.pad(jnp.asarray(x), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    k = (rng.standard_normal((3, 3, 3, cin, cout)) * 0.2).astype(np.float32)
+    bias = np.zeros((cout,), np.float32)
+    w = rng.standard_normal((b, r, r, r, cout)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers(
+        (b, r, r, r, cin), k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+
+    def f_ref(gpad, kk):
+        xx = gpad[:, 1:r + 1].reshape(b, r, r, r, cin)
+        return (jax.lax.conv_general_dilated(
+            xx, kk, (1, 1, 1), "SAME", dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST) * w).sum()
+
+    def f_ms(gpad, kk):
+        return (conv3d_ms_prepadded(gpad, kk, jnp.asarray(bias), r)
+                * w).sum()
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(gp, jnp.asarray(k))
+    g_ms = jax.grad(f_ms, argnums=(0, 1))(gp, jnp.asarray(k))
+    for a, b_ in zip(g_ms, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-2, atol=5e-2)
