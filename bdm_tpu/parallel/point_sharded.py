@@ -1,0 +1,198 @@
+"""Point-axis (sequence-parallel) geometry ops via shard_map.
+
+The large-N scaling path (SURVEY.md §2.7): the (B, N, 3) point axis is
+sharded over a mesh axis and each op reproduces the EXACT semantics of
+its single-device counterpart — including the reference CUDA kernels'
+scan-order and first-occurrence tie-break rules (`sampling.cu:103-148`,
+`ball_query.cu:19-58`) — so results are bit-identical to the unsharded
+ops and therefore to the reference.
+
+Collective pattern: per-shard partials + an O(P)-byte merge collective
+(independent of N), the standard sequence-parallel recipe for
+nearest-neighbor ops:
+
+  * FPS — inherently iterative (each round depends on all previous
+    selections): per round, a local first-max argmax, then a pmax on the
+    value and a pmin on the candidate index (ties resolve to the lowest
+    global index, exactly like a full argmax), and a psum broadcast of
+    the winner's coordinates. M rounds -> 3 scalar-sized collectives per
+    round riding ICI.
+  * ball query — each shard selects its own first-U hits in scan order;
+    the global first U is a subset of the union (any global first-U hit
+    is within its shard's first U), so ONE all_gather of (P, U) keyed
+    candidates + a top_k merge is exact.
+  * 3-NN — centers are replicated, the query axis is embarrassingly
+    parallel; no collective at all.
+
+`chamfer_distance_sharded` (evaluation/metrics.py) is the same pattern
+for the metric side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+SP_AXIS = "sp"
+
+_INF = jnp.float32(1e10)
+
+
+def fps_point_sharded(coords: jnp.ndarray, num_samples: int, mesh: Mesh,
+                      axis: str = SP_AXIS) -> jnp.ndarray:
+    """Furthest point sampling with the point axis sharded over `mesh`.
+
+    coords (B, N, 3) with N % mesh.shape[axis] == 0. Returns (B, M) int32
+    GLOBAL indices, replicated — bit-identical to
+    `ops.furthest_point_sample` (the per-point distance arithmetic is
+    elementwise-identical on every shard, so fp ties break the same way).
+    """
+    coords = jax.lax.stop_gradient(coords)
+    b, n, _ = coords.shape
+    m = int(num_samples)
+    p = mesh.shape[axis]
+    assert n % p == 0, (n, p)
+    shard_n = n // p
+
+    def shard_fn(c):                                   # c: (B, N/P, 3)
+        pid = jax.lax.axis_index(axis)
+        off = (pid * shard_n).astype(jnp.int32)
+        # global point 0 seeds the loop (reference `sampling.cu:103-105`);
+        # it lives on shard 0 — psum broadcasts it
+        last0 = jax.lax.psum(
+            jnp.where(pid == 0, c[:, 0, :], 0.0), axis)        # (B, 3)
+        indices0 = jnp.zeros((b, m), jnp.int32)
+        # shard-local state: mark it varying over the mesh axis so the
+        # fori_loop carry types match (jax>=0.9 tracks varying manual axes)
+        dist0 = jax.lax.pcast(jnp.full((b, shard_n), _INF), (axis,),
+                              to="varying")
+
+        def body(j, carry):
+            dist, last, indices = carry
+            d = jnp.sum((c - last[:, None, :]) ** 2, axis=-1)
+            dist = jnp.minimum(dist, d)
+            li = jnp.argmax(dist, axis=-1).astype(jnp.int32)   # (B,)
+            lv = jnp.take_along_axis(dist, li[:, None], axis=1)[:, 0]
+            gi = li + off
+            # merge: global max value, lowest global index among ties —
+            # exactly jnp.argmax's first-occurrence rule on the full array
+            vmax = jax.lax.pmax(lv, axis)
+            best = jax.lax.pmin(
+                jnp.where(lv == vmax, gi, jnp.int32(n)), axis)  # (B,)
+            own = (best >= off) & (best < off + shard_n)
+            lc = jnp.take_along_axis(
+                c, jnp.clip(best - off, 0, shard_n - 1)[:, None, None],
+                axis=1)[:, 0]
+            last = jax.lax.psum(jnp.where(own[:, None], lc, 0.0), axis)
+            indices = indices.at[:, j].set(best)
+            return dist, last, indices
+
+        if m == 1:
+            return indices0
+        _, _, indices = jax.lax.fori_loop(
+            1, m, body, (dist0, last0, indices0))
+        return indices
+
+    return shard_map(shard_fn, mesh=mesh, in_specs=P(None, axis, None),
+                     out_specs=P())(coords)
+
+
+def ball_query_point_sharded(centers: jnp.ndarray, points: jnp.ndarray,
+                             radius: float, num_neighbors: int, mesh: Mesh,
+                             axis: str = SP_AXIS) -> jnp.ndarray:
+    """Ball query (first-U-hits-in-scan-order) with the POINT axis
+    sharded; centers replicated. Returns (B, M, U) int32 global indices,
+    replicated — bit-identical to `ops.ball_query`.
+    """
+    centers = jax.lax.stop_gradient(centers)
+    points = jax.lax.stop_gradient(points)
+    b, mq, _ = centers.shape
+    n = points.shape[1]
+    u = int(num_neighbors)
+    p = mesh.shape[axis]
+    assert n % p == 0, (n, p)
+    shard_n = n // p
+    k_loc = min(u, shard_n)
+
+    def shard_fn(cen, pts):        # cen: (B, M, 3); pts: (B, N/P, 3)
+        pid = jax.lax.axis_index(axis)
+        off = (pid * shard_n).astype(jnp.int32)
+        d2 = jnp.zeros((b, mq, shard_n), jnp.float32)
+        for ax3 in range(3):
+            diff = (cen[..., ax3][:, :, None]
+                    - pts[..., ax3][:, None, :])
+            d2 = d2 + diff * diff
+        mask = d2 < jnp.float32(radius) ** 2
+        ids = off + jax.lax.broadcasted_iota(
+            jnp.int32, (b, mq, shard_n), dimension=2)
+        # a hit keeps its global index as key, a miss is pushed past N;
+        # the first U local hits contain every global first-U hit that
+        # falls in this shard
+        keys = jnp.where(mask, ids, ids + n)
+        neg, _ = jax.lax.top_k(-keys, k_loc)                  # (B, M, k)
+        local = jnp.minimum(-neg, jnp.int32(n))               # clamp pads
+        if k_loc < u:
+            local = jnp.pad(local, ((0, 0), (0, 0), (0, u - k_loc)),
+                            constant_values=n)
+        allk = jax.lax.all_gather(local, axis)                # (P,B,M,U)
+        merged = jnp.moveaxis(allk, 0, 2).reshape(b, mq, p * u)
+        neg_g, _ = jax.lax.top_k(-merged, u)
+        return -neg_g                                          # (B, M, U)
+
+    # check_vma=False: the all_gather+top_k merge computes the same value
+    # on every shard, but vma tracking can't infer replication through
+    # all_gather (it marks the output varying)
+    hits = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, None, None), P(None, axis, None)),
+        out_specs=P(), check_vma=False)(centers, points)
+    first = hits[..., 0:1]
+    base = jnp.where(first < n, first, 0)
+    return jnp.where(hits < n, hits, base).astype(jnp.int32)
+
+
+def three_nn_point_sharded(points: jnp.ndarray, centers: jnp.ndarray,
+                           mesh: Mesh, axis: str = SP_AXIS):
+    """3-NN (indices into the replicated centers + inverse-distance
+    weights) with the QUERY point axis sharded: embarrassingly parallel —
+    the shard-local op already emits global center indices. Outputs stay
+    point-sharded. Equal to `ops.three_nn`.
+    """
+    from bdm_tpu.ops.interpolate import three_nn
+
+    def shard_fn(pts, cen):
+        return three_nn(pts, cen, use_pallas=False)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None)),
+        out_specs=(P(None, axis, None), P(None, axis, None)))(
+        points, centers)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def fps_gather_point_sharded(coords: jnp.ndarray, num_samples: int,
+                             mesh: Mesh, axis: str = SP_AXIS) -> jnp.ndarray:
+    """FPS + coordinate gather under one jit (the `fps_gather`
+    convenience, sharded). The gather runs on the replicated indices
+    against the sharded coords via a second shard_map psum-gather."""
+    idx = fps_point_sharded(coords, num_samples, mesh, axis)
+    n = coords.shape[1]
+    p = mesh.shape[axis]
+    shard_n = n // p
+
+    def shard_fn(c, i):
+        pid = jax.lax.axis_index(axis)
+        off = (pid * shard_n).astype(jnp.int32)
+        own = (i >= off) & (i < off + shard_n)                # (B, M)
+        lc = jnp.take_along_axis(
+            c, jnp.clip(i - off, 0, shard_n - 1)[..., None], axis=1)
+        return jax.lax.psum(jnp.where(own[..., None], lc, 0.0), axis)
+
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(None, axis, None), P(None, None)),
+                     out_specs=P())(jax.lax.stop_gradient(coords), idx)
