@@ -41,6 +41,19 @@ from bdm_tpu.models.layers import (
     swish,
 )
 
+
+def _barrier(x):
+    """Fusion break on the voxel-branch conv boundaries (see the call
+    sites: XLA's conv+GN layout mega-fusion ran ~3.5x slower than the
+    split kernels). BDM_BARRIERS=0 removes them for A/B — with every
+    production conv now a Pallas custom call the layout disease may be
+    gone, and the barriers might only be blocking useful elementwise
+    fusion."""
+    if os.environ.get("BDM_BARRIERS", "1") == "0":
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 # (conv_configs, sa_configs) per stage; conv = (out_ch, num_blocks, voxel_res),
 # sa = (num_centers, radius, num_neighbors, mlp_channels)
 PVCNN_SA_BLOCKS = (
@@ -331,7 +344,7 @@ class PVConv(nn.Module):
             # cost 2.0 + 1.2 + 0.8 ms/step at C=390, profiled r3)
             gp = ops.avg_voxelize_padded_ctx(features, vox_ctx,
                                              self.resolution)
-            gp = jax.lax.optimization_barrier(gp)
+            gp = _barrier(gp)
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv0")(gp, prepadded=True,
                                        resolution=self.resolution)
@@ -359,7 +372,7 @@ class PVConv(nn.Module):
                 # branch at C=64/R=32 before the fusion
                 gp = ops.avg_voxelize_padded_ctx(features, vox_ctx,
                                                  self.resolution)
-                gp = jax.lax.optimization_barrier(gp)
+                gp = _barrier(gp)
                 g = VoxConv(self.out_channels, dtype=self.dtype,
                             name="vconv0")(gp, prepadded=True,
                                            resolution=self.resolution)
@@ -373,7 +386,7 @@ class PVConv(nn.Module):
                 # slower than the split kernels (profiled 6.1 ms
                 # in-graph vs 1.8 ms isolated); barriers on the conv
                 # boundaries reproduce the isolated compilation
-                g = jax.lax.optimization_barrier(g)
+                g = _barrier(g)
                 g = VoxConv(self.out_channels, dtype=self.dtype,
                             name="vconv0")(g, emit_stats=emit)
         ch = (g[0] if isinstance(g, tuple) else g).shape[-1]
@@ -408,22 +421,22 @@ class PVConv(nn.Module):
             var = jnp.repeat(var_g, ch // 8, axis=1)
             a_aff = jax.lax.rsqrt(var + 1e-5) * scale[None]
             c_aff = beta[None] - mu * a_aff
-            g = jax.lax.optimization_barrier(g)
+            g = _barrier(g)
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv1")(g, prenorm=(a_aff, c_aff))
         else:
             assert not isinstance(g, tuple)
-            g = jax.lax.optimization_barrier(g)
+            g = _barrier(g)
             g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                              name="vnorm0")(g)
             g = swish(g)
             g = nn.Dropout(self.dropout, name="vdrop")(
                 g, deterministic=deterministic)
             g = to_vox_dtype(g)
-            g = jax.lax.optimization_barrier(g)
+            g = _barrier(g)
             g = VoxConv(self.out_channels, dtype=self.dtype,
                         name="vconv1")(g)
-        g = jax.lax.optimization_barrier(g)
+        g = _barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm1")(g)
         if self.attention:
