@@ -81,10 +81,23 @@ def _dyn_signature(dyn_args: tuple) -> str:
     return ";".join(sig)
 
 
+_NON_GRAPH_FLAGS = ("BDM_AOT_CACHE", "BDM_AOT_CACHE_DIR",
+                    "BDM_COMPILE_CACHE_DIR")
+
+
+def _flag_signature() -> str:
+    """Every BDM_* env flag except the cache controls participates in the
+    key: flags like BDM_CONV_IMPL / BDM_ZBUF / BDM_PRENORM_FUSE /
+    BDM_BARRIERS change the traced graph without changing any source, and
+    an A/B run must not be handed the other variant's executable."""
+    return ",".join(f"{k}={v}" for k, v in sorted(os.environ.items())
+                    if k.startswith("BDM_") and k not in _NON_GRAPH_FLAGS)
+
+
 def _key(tag: str, static_key: str, dyn_args: tuple) -> str:
     dev = jax.devices()[0]
     parts = "\x00".join([
-        tag, static_key, _source_hash(), jax.__version__,
+        tag, static_key, _source_hash(), _flag_signature(), jax.__version__,
         jax.default_backend(), dev.device_kind, str(jax.device_count()),
         _dyn_signature(dyn_args),
     ])

@@ -81,3 +81,21 @@ def test_corrupt_cache_file_recovers(tmp_cache):
                              static_key="k4")
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(_scaled_add(4, x, y)))
+
+
+def test_graph_shaping_env_flags_change_the_key(monkeypatch):
+    """BDM_* flags that reshape the traced graph (BDM_CONV_IMPL, BDM_ZBUF,
+    ...) must produce distinct cache keys; the cache-control flags must
+    not."""
+    from bdm_tpu.utils.aot_cache import _key
+
+    args = (jnp.zeros((2, 3), jnp.float32),)
+    base = _key("t", "s", args)
+    monkeypatch.setenv("BDM_CONV_IMPL", "slab")
+    assert _key("t", "s", args) != base
+    monkeypatch.delenv("BDM_CONV_IMPL")
+    monkeypatch.setenv("BDM_ZBUF", "runmin")
+    assert _key("t", "s", args) != base
+    monkeypatch.delenv("BDM_ZBUF")
+    monkeypatch.setenv("BDM_AOT_CACHE_DIR", "/tmp/elsewhere")
+    assert _key("t", "s", args) == base
