@@ -94,7 +94,19 @@ def three_nn_interpolate(points: jnp.ndarray, centers: jnp.ndarray,
     """
     idx, w = three_nn(points, centers)
     b, n, _ = idx.shape
+    m = centers_features.shape[1]
     c = centers_features.shape[-1]
+    import os
+    if (os.environ.get("BDM_INTERP", "gather") == "onehot"
+            and centers_features.dtype == jnp.bfloat16
+            and m >= 128 and n % min(n, 512) == 0):
+        # one-hot weighted matmul on the MXU (ops/pallas/interp_mm.py):
+        # the gather's 3N serialized starts (0.65 ms/step at the big FP
+        # stage) become one resident-centers contraction per query tile.
+        # bf16-only: the weights round once to bf16, the same rounding
+        # the devoxelize einsum takes under mixed precision.
+        from bdm_tpu.ops.pallas.interp_mm import interp_mm
+        return interp_mm(idx, w, centers_features)
     gathered = jnp.take_along_axis(
         centers_features, idx.reshape(b, n * 3, 1), axis=1).reshape(b, n, 3, c)
     return jnp.sum(gathered * w[..., None], axis=2)

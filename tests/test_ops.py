@@ -609,3 +609,58 @@ def test_conv3d_ms_prepadded_grad_matches(rng):
     for a, b_ in zip(g_ms, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_interp_mm_matches_gather(rng):
+    """One-hot matmul 3-NN interpolation == the gather form within bf16
+    rounding; gradient wrt features matches the gather path."""
+    from bdm_tpu.ops.pallas.interp_mm import interp_mm
+
+    b, n, m, c = 2, 512, 128, 64
+    idx = jnp.asarray(rng.integers(0, m, (b, n, 3)).astype(np.int32))
+    w_raw = rng.random((b, n, 3)).astype(np.float32) + 0.1
+    w = jnp.asarray(w_raw / w_raw.sum(-1, keepdims=True))
+    feats = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+
+    gathered = jnp.take_along_axis(
+        feats.astype(jnp.float32), idx.reshape(b, n * 3, 1),
+        axis=1).reshape(b, n, 3, c)
+    want = jnp.sum(gathered * w[..., None], axis=2)
+    got = interp_mm(idx, w, feats).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    gcot = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+
+    def f_mm(f):
+        return (interp_mm(idx, w, f) * gcot.astype(jnp.bfloat16)).sum()
+
+    def f_ref(f):
+        gg = jnp.take_along_axis(
+            f.astype(jnp.float32), idx.reshape(b, n * 3, 1),
+            axis=1).reshape(b, n, 3, c)
+        return (jnp.sum(gg * w[..., None], axis=2) * gcot).sum()
+
+    g_mm = jax.grad(f_mm)(feats).astype(jnp.float32)
+    g_ref = jax.grad(f_ref)(feats.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_three_nn_interpolate_onehot_dispatch(rng, monkeypatch):
+    """BDM_INTERP=onehot dispatches the FP interpolation to the matmul
+    kernel and stays close to the gather path end-to-end."""
+    from bdm_tpu.ops.interpolate import three_nn_interpolate
+
+    b, n, m, c = 1, 512, 128, 32
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    cen = jnp.asarray(rng.standard_normal((b, m, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    want = three_nn_interpolate(pts, cen, feats)
+    monkeypatch.setenv("BDM_INTERP", "onehot")
+    got = three_nn_interpolate(pts, cen, feats)
+    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                               np.asarray(want.astype(jnp.float32)),
+                               rtol=3e-2, atol=3e-2)

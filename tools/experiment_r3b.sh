@@ -53,3 +53,4 @@ run_variant base NOOP=1
 run_variant zbuf_runmin BDM_ZBUF=runmin
 run_variant prenorm BDM_PRENORM_FUSE=1
 run_variant nobarrier BDM_BARRIERS=0
+run_variant interp_mm BDM_INTERP=onehot
