@@ -18,12 +18,28 @@ only interpret-tested in CI — a Mosaic lowering regression must fail the
 bench loudly, not publish wrong-but-fast numbers), and an MFU estimate
 from XLA's cost analysis of the compiled window scan.
 
-Robustness: progress goes to stderr; on a failure the bench retries at a
-smaller batch, and it always emits a JSON line (value 0.0 on total failure).
+Robustness (the round-3 driver run died rc=124 with NO JSON emitted —
+never again): the default invocation runs a lightweight SUPERVISOR that
+executes the actual bench in a worker subprocess. The supervisor is pure
+Python in a poll loop, so it can always react to SIGTERM/SIGINT and to
+the --deadline (worker exceptions that strike while JAX is blocked inside
+a native compile RPC cannot). Failures are classified:
+  * retryable  (OOM / RESOURCE_EXHAUSTED): retry at half the batch, but
+    only if the remaining deadline budget plausibly covers another
+    attempt;
+  * unretryable (backend init UNAVAILABLE, self-check assertion, import
+    errors, anything else): emit the failure JSON IMMEDIATELY and exit 0.
+The JSON line is emitted exactly once, no matter what — on success, on
+first unrecoverable error, on deadline expiry, and from the SIGTERM/
+SIGINT handlers and an atexit backstop (value 0.0 on total failure).
 """
 
 import argparse
+import atexit
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -33,6 +49,10 @@ MILESTONES = [1000, 968, 936, 872, 128, 64, 32, 0]
 ROLL_STEP = 16
 BASELINE_CLOUDS_PER_SEC = 0.5
 
+# Worker exit codes for failure classification (supervisor protocol).
+EXIT_RETRYABLE = 3
+EXIT_UNRETRYABLE = 4
+
 # bf16 peak TFLOPs per chip by device kind (public spec sheets)
 _PEAK_TFLOPS = {
     "TPU v4": 275.0, "TPU v5": 459.0, "TPU v5p": 459.0,
@@ -40,9 +60,28 @@ _PEAK_TFLOPS = {
     "TPU v6 lite": 918.0,
 }
 
+_RETRYABLE_MARKERS = (
+    "RESOURCE_EXHAUSTED", "out of memory", "OOM", "vmem",
+    "Attempting to allocate",
+)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def classify_failure(exc):
+    """'retryable' only for memory-pressure errors where a smaller batch
+    can plausibly help; everything else (backend init UNAVAILABLE,
+    self-check AssertionError, ImportError, ...) is 'unretryable' —
+    re-paying ~25 min of tracing on those burned the whole round-3
+    driver budget without ever reporting."""
+    if isinstance(exc, (AssertionError, ImportError, KeyboardInterrupt)):
+        return "unretryable"
+    msg = f"{type(exc).__name__}: {exc}"
+    if any(m in msg for m in _RETRYABLE_MARKERS):
+        return "retryable"
+    return "unretryable"
 
 
 def kernel_self_check():
@@ -150,6 +189,11 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
 def run_once(batch_size, points, repeats, quick, precision,
              precontract=False):
     import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        # the axon TPU plugin ignores the env var; honor it explicitly so
+        # `JAX_PLATFORMS=cpu python bench.py --quick` really runs on CPU
+        jax.config.update("jax_platforms", plat)
     # persistent compile cache: the ~5 big window-scan executables cost
     # ~10 min each to compile cold through the remote compile helper;
     # cached reruns skip that entirely
@@ -222,7 +266,7 @@ def run_once(batch_size, points, repeats, quick, precision,
     return batch_size / min(times), points, steps
 
 
-def main():
+def make_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--points", type=int, default=4096)
@@ -231,22 +275,22 @@ def main():
     parser.add_argument("--precision", default="bf16",
                         choices=["bf16", "no"])
     parser.add_argument("--precontract", action="store_true",
-                        help="tap-precontraction path (lost the r3 A/B; kept for chips where the balance may flip)")
-    args = parser.parse_args()
+                        help="tap-precontraction path (lost the r3 A/B; "
+                             "kept for chips where the balance may flip)")
+    parser.add_argument("--deadline", type=float,
+                        default=float(os.environ.get(
+                            "BDM_BENCH_DEADLINE", 9000.0)),
+                        help="wall-clock budget in seconds; the supervisor "
+                             "stops retrying (and reports) before it runs "
+                             "out")
+    parser.add_argument("--worker", action="store_true",
+                        help=argparse.SUPPRESS)  # internal: one attempt,
+    # no retry, JSON to stdout; exit 3 retryable / 4 unretryable
+    return parser
 
-    clouds_per_sec, points, steps = 0.0, args.points, 1000
-    batch = args.batch
-    while batch >= 1:
-        try:
-            clouds_per_sec, points, steps = run_once(
-                batch, args.points, args.repeats, args.quick,
-                args.precision, args.precontract)
-            break
-        except Exception as e:
-            log(f"bench failed at batch={batch}: {type(e).__name__}: {e}")
-            batch //= 2
 
-    result = {
+def result_json(clouds_per_sec, points, steps, batch):
+    return {
         "metric": "BDM-Blending sampling throughput "
                   f"({points} pts, DDPM {steps} steps, batch {batch}, "
                   "1 chip)",
@@ -254,8 +298,164 @@ def main():
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 4),
     }
-    print(json.dumps(result))
+
+
+def _maybe_inject_failure():
+    """Test hook: BDM_BENCH_FAIL simulates the round-3 failure modes so
+    the supervisor protocol is testable without a TPU (see
+    tests/test_bench_contract.py)."""
+    mode = os.environ.get("BDM_BENCH_FAIL")
+    if not mode:
+        return
+    if mode == "unavailable":
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "injected test failure")
+    if mode == "oom":
+        raise RuntimeError("RESOURCE_EXHAUSTED: injected test failure")
+    if mode == "assert":
+        raise AssertionError("injected self-check failure")
+    if mode == "hang":
+        time.sleep(3600)
+    raise ValueError(f"unknown BDM_BENCH_FAIL={mode}")
+
+
+def worker_main(args):
+    """One attempt; classification via exit code. Runs in a subprocess so
+    the supervisor stays responsive even if this blocks in native code."""
+    try:
+        _maybe_inject_failure()
+        clouds_per_sec, points, steps = run_once(
+            args.batch, args.points, args.repeats, args.quick,
+            args.precision, args.precontract)
+    except BaseException as e:  # noqa: BLE001 — classify everything
+        kind = classify_failure(e)
+        log(f"bench worker failed at batch={args.batch} ({kind}): "
+            f"{type(e).__name__}: {e}")
+        return EXIT_RETRYABLE if kind == "retryable" else EXIT_UNRETRYABLE
+    print(json.dumps(result_json(clouds_per_sec, points, steps,
+                                 args.batch)), flush=True)
     return 0
+
+
+class Supervisor:
+    """Owns the one-JSON-line contract. Pure-Python poll loop; never
+    enters JAX, so SIGTERM/deadline handling cannot be blocked by a
+    stuck compile RPC."""
+
+    def __init__(self, args):
+        self.args = args
+        self.t_start = time.monotonic()
+        self.emitted = False
+        self.child = None
+        # fallback result if nothing better is ever produced
+        self.failure = result_json(0.0, args.points,
+                                   8 if args.quick else 1000, args.batch)
+        atexit.register(self.emit, None)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, self._on_signal)
+
+    def remaining(self):
+        return self.args.deadline - (time.monotonic() - self.t_start)
+
+    def emit(self, result):
+        if self.emitted:
+            return
+        self.emitted = True
+        print(json.dumps(result if result is not None else self.failure),
+              flush=True)
+
+    def _on_signal(self, signum, frame):
+        log(f"supervisor: caught signal {signum}, reporting and exiting")
+        if self.child is not None and self.child.poll() is None:
+            self.child.terminate()
+        self.emit(None)
+        os._exit(0)
+
+    def attempt(self, batch):
+        """Run one worker attempt; returns (status, json_or_None).
+        status in {'ok', 'retryable', 'unretryable', 'deadline'}."""
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--batch", str(batch), "--points", str(self.args.points),
+               "--repeats", str(self.args.repeats),
+               "--precision", self.args.precision]
+        if self.args.quick:
+            cmd.append("--quick")
+        if self.args.precontract:
+            cmd.append("--precontract")
+        log(f"supervisor: attempt batch={batch}, "
+            f"{self.remaining():.0f}s of budget left")
+        self.child = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=None, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        # Drain stdout from a thread so the pipe can't fill and block.
+        import threading
+        lines = []
+
+        def _drain():
+            for line in self.child.stdout:
+                lines.append(line)
+        th = threading.Thread(target=_drain, daemon=True)
+        th.start()
+        while True:
+            rc = self.child.poll()
+            if rc is not None:
+                break
+            if self.remaining() <= 30.0:
+                log("supervisor: deadline reached, killing worker")
+                self.child.terminate()
+                try:
+                    self.child.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    self.child.kill()
+                return "deadline", None
+            time.sleep(2.0)
+        th.join(timeout=10)
+        if rc == 0:
+            for line in reversed(lines):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return "ok", json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
+            log("supervisor: worker exited 0 but printed no JSON")
+            return "unretryable", None
+        if rc == EXIT_RETRYABLE:
+            return "retryable", None
+        return "unretryable", None
+
+    def run(self):
+        batch = self.args.batch
+        while batch >= 1:
+            t0 = time.monotonic()
+            status, result = self.attempt(batch)
+            attempt_cost = time.monotonic() - t0
+            if status == "ok":
+                self.emit(result)
+                return 0
+            if status in ("unretryable", "deadline"):
+                self.emit(None)
+                return 0
+            # retryable: only retry if the budget plausibly covers a
+            # full re-trace + run (assume the retry costs about as much
+            # as the failed attempt, plus margin)
+            batch //= 2
+            if batch >= 1 and self.remaining() < attempt_cost + 120.0:
+                log(f"supervisor: {self.remaining():.0f}s left < retry "
+                    f"estimate {attempt_cost:.0f}s — reporting failure "
+                    "instead of retrying")
+                self.emit(None)
+                return 0
+        self.emit(None)
+        return 0
+
+
+def main():
+    args = make_parser().parse_args()
+    if args.worker:
+        return worker_main(args)
+    return Supervisor(args).run()
 
 
 if __name__ == "__main__":
