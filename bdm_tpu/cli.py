@@ -108,6 +108,21 @@ def _params_path(ckpt: str) -> str:
     return ckpt
 
 
+def _merge_into(template, restored, path=""):
+    """Recursively overlay `restored` on `template`, keeping template
+    entries the checkpoint doesn't provide — the analogue of the
+    reference's `load_state_dict(..., strict=False)` resume
+    (`training_utils.py:273-346`). E.g. a converted PC2 checkpoint that
+    carries only the point-cloud backbone keeps the initialized image
+    feature model."""
+    if not isinstance(restored, dict) or not isinstance(template, dict):
+        return restored
+    out = dict(template)
+    for k, v in restored.items():
+        out[k] = _merge_into(template.get(k), v, f"{path}/{k}")
+    return out
+
+
 def _extract_params(restored, template, from_ema: bool = False):
     """Train checkpoints store {'params': ...}; bare param saves store the
     tree directly. `from_ema` selects 'ema_params' and errors when the
@@ -121,13 +136,13 @@ def _extract_params(restored, template, from_ema: bool = False):
                 raise ValueError(
                     "run.sample_from_ema=True but the checkpoint holds no "
                     "ema_params (trained with ema.use_ema=False?)")
-            return restored["ema_params"]
-        return restored["params"]
+            return _merge_into(template, restored["ema_params"])
+        return _merge_into(template, restored["params"])
     if from_ema:
         raise ValueError(
             "run.sample_from_ema=True needs a train checkpoint with "
             "ema_params; got a bare parameter tree")
-    return restored
+    return _merge_into(template, restored)
 
 
 def resolve_milestones(cfg: ProjectConfig):

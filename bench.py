@@ -187,7 +187,7 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
 
 
 def run_once(batch_size, points, repeats, quick, precision,
-             precontract=False):
+             precontract=False, streams=1):
     import jax
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
@@ -237,11 +237,29 @@ def run_once(batch_size, points, repeats, quick, precision,
     # Python loop over jitted scans cached by window LENGTH (3 distinct
     # lengths in the canonical schedule), so warmup compiles ~5 programs
     # instead of one giant 14-segment graph.
-    def run(k):
-        return bdm_blending(pc2, pc2_params, pvd, pvd_params, batch, k,
-                            num_points=points, milestones=milestones,
-                            roll_step=roll, scheduler="ddpm",
-                            num_inference_steps=steps)
+    if streams > 1:
+        # S independent streams interleaved in one program per window —
+        # amortizes the serial small-op tail (samplers/multistream.py)
+        import jax.numpy as jnp
+        from bdm_tpu.samplers import bdm_blending_multi
+        batches = [batch] + [
+            _synthetic_batch(batch_size, points, pc2.cfg.image_size,
+                             np.random.default_rng(s))
+            for s in range(1, streams)]
+
+        def run(k):
+            outs = bdm_blending_multi(
+                pc2, pc2_params, pvd, pvd_params, batches,
+                list(jax.random.split(k, streams)), num_points=points,
+                milestones=milestones, roll_step=roll, scheduler="ddpm",
+                num_inference_steps=steps)
+            return jnp.concatenate(outs, axis=0)
+    else:
+        def run(k):
+            return bdm_blending(pc2, pc2_params, pvd, pvd_params, batch, k,
+                                num_points=points, milestones=milestones,
+                                roll_step=roll, scheduler="ddpm",
+                                num_inference_steps=steps)
 
     log("warmup (compiles the window scans)...")
     t0 = time.perf_counter()
@@ -262,8 +280,9 @@ def run_once(batch_size, points, repeats, quick, precision,
         # ~1160 denoise evals per run (1000 main-path + coupled rolls)
         n_evals = (milestones[0] - milestones[-1]) + \
             2 * roll * (len(milestones) - 3)
-        estimate_mfu(pc2, pc2_params, batch, points, min(times) / n_evals)
-    return batch_size / min(times), points, steps
+        estimate_mfu(pc2, pc2_params, batch, points,
+                     min(times) / n_evals / streams)
+    return batch_size * streams / min(times), points, steps
 
 
 def make_parser():
@@ -274,6 +293,9 @@ def make_parser():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--precision", default="bf16",
                         choices=["bf16", "no"])
+    parser.add_argument("--streams", type=int, default=1,
+                        help="independent sampling streams interleaved in "
+                             "one program (multi-stream tail amortization)")
     parser.add_argument("--precontract", action="store_true",
                         help="tap-precontraction path (lost the r3 A/B; "
                              "kept for chips where the balance may flip)")
@@ -289,10 +311,12 @@ def make_parser():
     return parser
 
 
-def result_json(clouds_per_sec, points, steps, batch):
+def result_json(clouds_per_sec, points, steps, batch, streams=1):
+    sdesc = f"batch {batch}x{streams} streams" if streams > 1 else \
+        f"batch {batch}"
     return {
         "metric": "BDM-Blending sampling throughput "
-                  f"({points} pts, DDPM {steps} steps, batch {batch}, "
+                  f"({points} pts, DDPM {steps} steps, {sdesc}, "
                   "1 chip)",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec/chip",
@@ -327,14 +351,14 @@ def worker_main(args):
         _maybe_inject_failure()
         clouds_per_sec, points, steps = run_once(
             args.batch, args.points, args.repeats, args.quick,
-            args.precision, args.precontract)
+            args.precision, args.precontract, args.streams)
     except BaseException as e:  # noqa: BLE001 — classify everything
         kind = classify_failure(e)
         log(f"bench worker failed at batch={args.batch} ({kind}): "
             f"{type(e).__name__}: {e}")
         return EXIT_RETRYABLE if kind == "retryable" else EXIT_UNRETRYABLE
     print(json.dumps(result_json(clouds_per_sec, points, steps,
-                                 args.batch)), flush=True)
+                                 args.batch, args.streams)), flush=True)
     return 0
 
 
@@ -350,7 +374,8 @@ class Supervisor:
         self.child = None
         # fallback result if nothing better is ever produced
         self.failure = result_json(0.0, args.points,
-                                   8 if args.quick else 1000, args.batch)
+                                   8 if args.quick else 1000, args.batch,
+                                   args.streams)
         atexit.register(self.emit, None)
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, self._on_signal)
@@ -378,6 +403,7 @@ class Supervisor:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--batch", str(batch), "--points", str(self.args.points),
                "--repeats", str(self.args.repeats),
+               "--streams", str(self.args.streams),
                "--precision", self.args.precision]
         if self.args.quick:
             cmd.append("--quick")

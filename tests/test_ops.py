@@ -240,6 +240,26 @@ def test_pallas_ball_query_matches_reference(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_ball_query_rank_matches_reference(rng):
+    """Rank-form kernel (O(M*N) cumsum + per-slot 128-lane extraction)
+    must reproduce the scan-order first-U semantics bit-exactly across
+    hit regimes: none / sparse / == U / overflow."""
+    from bdm_tpu.ops.pallas.ball_query import ball_query_rank_pallas
+    for b, m, n, u, radius in [
+        (2, 128, 256, 8, 0.4),     # one tile, sparse hits
+        (2, 128, 256, 8, 5.0),     # every point hits (overflow)
+        (2, 128, 256, 8, 1e-4),    # (almost) no hits
+        (1, 256, 512, 32, 0.6),    # multi-tile m, production U
+        (3, 16, 128, 4, 0.5),      # small m (sublane-only tile)
+    ]:
+        points = rng.standard_normal((b, n, 3)).astype(np.float32)
+        centers = points[:, :: n // m][:, :m]
+        got = np.asarray(ball_query_rank_pallas(
+            jnp.asarray(centers), jnp.asarray(points), radius, u, True))
+        want = np_ball_query(centers, points, radius, u)
+        np.testing.assert_array_equal(got, want, err_msg=str((m, n, radius)))
+
+
 def test_pallas_three_nn_matches_reference(rng):
     from bdm_tpu.ops.pallas import three_nn_pallas
     points = rng.standard_normal((2, 64, 3)).astype(np.float32)

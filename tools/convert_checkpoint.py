@@ -16,12 +16,19 @@ and plugs into `aux_run.prior_ckpt` / `aux_run.recon_ckpt` /
 """
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 
 def main():
+    import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        # the axon TPU plugin ignores the env var; conversion is pure
+        # array shuffling and must never block on a TPU backend
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", required=True,
                         choices=("pc2", "pvd", "fusion", "vit"))
