@@ -106,7 +106,8 @@ def train(cfg: ProjectConfig) -> None:
         callbacks.append(make_val_callback(
             cfg, pc2, loader_val, mesh, logger, wandb_logger))
     if cfg.run.vis_freq and cfg.run.vis_freq > 0:
-        callbacks.append(make_vis_callback(cfg, pc2, loader_val, ckpt_dir))
+        callbacks.append(make_vis_callback(cfg, pc2, loader_val, ckpt_dir,
+                                           wandb_logger=wandb_logger))
     if cfg.run.vis_before_training:
         # render once before the loop (reference `main.py:132`)
         make_vis_callback(cfg, pc2, loader_val, ckpt_dir, force=True)(
@@ -179,7 +180,7 @@ def make_val_callback(cfg: ProjectConfig, pc2, loader_val, mesh, logger,
 
 
 def make_vis_callback(cfg: ProjectConfig, pc2, loader_val, ckpt_dir,
-                      force: bool = False):
+                      force: bool = False, wandb_logger=None):
     """Every `run.vis_freq` steps sample ONE held-out batch with the
     current (EMA) weights and save scatter renders under the run dir —
     the reference's in-loop `visualize` (`main.py:277-285`, and
@@ -213,6 +214,12 @@ def make_vis_callback(cfg: ProjectConfig, pc2, loader_val, ckpt_dir,
         ax.set_axis_off()
         fig.savefig(out, dpi=120)
         plt.close(fig)
+        if wandb_logger is not None:
+            # interactive 3D panels, like the reference's wandb.Object3D
+            # artifacts (`main.py:387-448`)
+            wandb_logger.log_point_clouds(
+                {"vis/pred": pts, "vis/gt": np.asarray(batch["points"][0])},
+                step=step)
         print(f"vis @ step {step}: {out}")
 
     return vis_cb

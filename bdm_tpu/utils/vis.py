@@ -85,6 +85,18 @@ class WandbLogger:
         if self.run is not None:
             self.run.log(metrics, step=step)
 
+    def log_point_clouds(self, clouds: dict, step: Optional[int] = None):
+        """Interactive 3D point-cloud panels — the reference's
+        `visualize()` logs `wandb.Object3D` per sample alongside the
+        rendered images (`main.py:387-448`). `clouds` maps panel name to
+        an (N, 3) or (N, 6) [xyz+rgb] array."""
+        if self.run is None:
+            return
+        import wandb
+        self.run.log(
+            {k: wandb.Object3D(np.asarray(v, dtype=np.float32))
+             for k, v in clouds.items()}, step=step)
+
     def finish(self):
         if self.run is not None:
             self.run.finish()

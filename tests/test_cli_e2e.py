@@ -44,6 +44,26 @@ BASE_ARGS = [
 ]
 
 
+def test_cli_train_bf16(tmp_path, tiny_build):
+    """Training under run.mixed_precision=bf16 (the round-4 production
+    training-demo configuration) must run end-to-end with finite losses:
+    bf16 activations, f32 params/optimizer."""
+    import json
+
+    from bdm_tpu.main import main
+
+    save = str(tmp_path / "out")
+    main(BASE_ARGS + [
+        "run.job=train", f"run.save_dir={save}", "run.name=bf16",
+        "run.mixed_precision=bf16", "run.max_steps=3",
+        "run.checkpoint_freq=3", "run.print_step_freq=1",
+        "run.log_step_freq=1", "scheduler.num_warmup_steps=1",
+    ])
+    log_path = os.path.join(save, "bf16", "train_log.jsonl")
+    rows = [json.loads(line) for line in open(log_path)]
+    assert rows and all(np.isfinite(r["loss"]) for r in rows)
+
+
 def test_cli_train_and_sample(tmp_path, tiny_build):
     from bdm_tpu.main import main
 
