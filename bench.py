@@ -158,9 +158,10 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
             # compiling just for it trips the remote helper's size limit
             # (HTTP 413), and even the MLIR conversion alone costs ~2 min
             # through the tunnel; use the CPU-HLO count of the SAME graph
-            # (measured once: 748.4 GFLOP at batch 8, N=4096, production
-            # specs)
-            flops = 7.484e11 * (x.shape[0] / 8.0)
+            # (re-measured r4: 750.7 GFLOP bf16 / 749.4 f32 at batch 8,
+            # N=4096, production specs — re-run the CPU cost_analysis
+            # below when the graph changes)
+            flops = 7.507e11 * (x.shape[0] / 8.0)
         else:
             cond_map = pc2.conditioning_map(pc2_params, batch["image"])
             t = jnp.zeros((x.shape[0],), jnp.int32)
@@ -171,7 +172,7 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0)) if ca else 0.0
         if not flops:
-            flops = 7.484e11 * (x.shape[0] / 8.0)
+            flops = 7.507e11 * (x.shape[0] / 8.0)
         kind = jax.devices()[0].device_kind
         peak = _PEAK_TFLOPS.get(kind)
         achieved = flops / seconds_per_step / 1e12
