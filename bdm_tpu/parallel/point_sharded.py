@@ -196,3 +196,91 @@ def fps_gather_point_sharded(coords: jnp.ndarray, num_samples: int,
     return shard_map(shard_fn, mesh=mesh,
                      in_specs=(P(None, axis, None), P(None, None)),
                      out_specs=P())(jax.lax.stop_gradient(coords), idx)
+
+
+def grouping_point_sharded(features: jnp.ndarray, indices: jnp.ndarray,
+                           mesh: Mesh, axis: str = SP_AXIS) -> jnp.ndarray:
+    """Neighbor-feature grouping with the FEATURE point axis sharded and
+    the (B, M, U) global indices replicated (they come from
+    `ball_query_point_sharded`). One all_gather of the feature shards
+    rides ICI — the standard sequence-parallel recipe for arbitrary
+    global-index gathers — then the gather itself is local. M is the
+    downsampled center count (<= 1024), so the replicated output is
+    small. Equal to `ops.grouping` bit-for-bit.
+    """
+    from bdm_tpu.ops.grouping import grouping
+    b, n, c = features.shape
+    p = mesh.shape[axis]
+    shard_n = n // p
+
+    def shard_fn(f, i):                 # f: (B, N/P, C), i: (B, M, U)
+        allf = jax.lax.all_gather(f, axis)          # (P, B, N/P, C)
+        full = jnp.moveaxis(allf, 0, 1).reshape(b, n, c)
+        return grouping(full, i)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None)),
+        out_specs=P(), check_vma=False)(features, indices)
+
+
+def point_to_voxel_to_point_sharded(features: jnp.ndarray,
+                                    coords: jnp.ndarray, resolution: int,
+                                    voxel_fn, mesh: Mesh,
+                                    axis: str = SP_AXIS,
+                                    normalize: bool = True,
+                                    eps: float = 0.0) -> jnp.ndarray:
+    """The full PVConv voxel branch (`modules/pvconv.py:91-97`) with the
+    point axis sharded — the piece that makes a large-N PVCNN2 stage run
+    sequence-parallel end to end (SURVEY.md §2.7):
+
+      * normalization stats: psum of coordinate sums (mean) + pmax of the
+        per-shard max norm — O(B) bytes on ICI;
+      * scatter-mean: per-shard segment-sum partials into the full
+        (B, R^3, C+1) sums+counts grid, ONE psum merges them (the voxel
+        grid is tiny next to a large-N point cloud);
+      * `voxel_fn` (conv/GN/SE stack) runs replicated on the merged grid
+        — closures must hold replicated values (model params are);
+      * trilinear devoxelization: embarrassingly parallel per shard.
+
+    Output stays point-sharded (B, N/P, C'). Matches
+    `ops.point_to_voxel_to_point` up to psum reassociation (float sums
+    in a different order).
+    """
+    from bdm_tpu.ops.voxelize import _flat_voxel_ids, trilinear_devoxelize
+    b, n, c = features.shape
+    r = int(resolution)
+    p = mesh.shape[axis]
+    assert n % p == 0, (n, p)
+
+    def shard_fn(f, co):              # f: (B, N/P, C), co: (B, N/P, 3)
+        co = jax.lax.stop_gradient(co)
+        mean = jax.lax.psum(jnp.sum(co, axis=1), axis) / n      # (B, 3)
+        centered = co - mean[:, None, :]
+        if normalize:
+            norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)
+            local_max = norm.max(axis=1, keepdims=True)         # (B,1,1)
+            denom = jax.lax.pmax(local_max, axis) * 2.0 + eps
+            norm_coords = centered / denom + 0.5
+        else:
+            norm_coords = (centered + 1.0) / 2.0
+        norm_coords = jnp.clip(norm_coords * r, 0.0, r - 1)
+        vox = jnp.round(norm_coords).astype(jnp.int32)
+        ids = _flat_voxel_ids(vox, r)                           # (B, N/P)
+        aug = jnp.concatenate(
+            [f, jnp.ones((b, f.shape[1], 1), f.dtype)], axis=-1)
+        flat = (ids + jnp.arange(b, dtype=jnp.int32)[:, None]
+                * (r ** 3)).reshape(-1)
+        part = jax.ops.segment_sum(
+            aug.reshape(-1, c + 1), flat,
+            num_segments=b * r ** 3).reshape(b, r ** 3, c + 1)
+        tot = jax.lax.psum(part, axis)                # (B, R^3, C+1)
+        counts = jnp.maximum(tot[..., c:], 1.0)
+        grid = (tot[..., :c] / counts).reshape(b, r, r, r, c)
+        out_grid = voxel_fn(grid)                     # replicated compute
+        return trilinear_devoxelize(out_grid, norm_coords)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=P(None, axis, None), check_vma=False)(features, coords)

@@ -89,3 +89,57 @@ def test_three_nn_point_sharded_matches(rng, mesh):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
                                rtol=0, atol=0)
+
+
+def test_grouping_point_sharded_matches(rng, mesh):
+    from bdm_tpu.ops.grouping import grouping
+    from bdm_tpu.parallel.point_sharded import grouping_point_sharded
+    b, n, c, m, u = 2, 128, 7, 16, 4
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, m, u)).astype(np.int32))
+    want = grouping(feats, idx)
+    got = grouping_point_sharded(feats, idx, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_point_to_voxel_to_point_sharded_matches(rng, mesh):
+    """The full PVConv voxel branch under point sharding: scatter-mean
+    partials merged by psum, replicated voxel_fn, parallel devox. Equal
+    to the unsharded path up to psum reassociation."""
+    from bdm_tpu.ops.voxelize import point_to_voxel_to_point
+    from bdm_tpu.parallel.point_sharded import \
+        point_to_voxel_to_point_sharded
+    b, n, c, r = 2, 256, 5, 4
+
+    def voxel_fn(grid):
+        return jnp.tanh(grid) + grid * 0.5
+
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    coords = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    want = point_to_voxel_to_point(feats, coords, r, voxel_fn)
+    got = point_to_voxel_to_point_sharded(feats, coords, r, voxel_fn, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sa_stage_data_path_point_sharded(rng, mesh):
+    """Composed SA-stage data path (FPS -> center gather -> ball query ->
+    grouping) fully point-sharded == unsharded, bit-exactly — the
+    sequence-parallel large-N recipe end to end (SURVEY.md 2.7)."""
+    from bdm_tpu.ops.grouping import grouping
+    from bdm_tpu.parallel.point_sharded import grouping_point_sharded
+    b, n, c, m, u, radius = 2, 256, 6, 32, 8, 0.7
+    coords = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+
+    centers_u = fps_gather(coords, m)
+    nbr_u = ball_query(centers_u, coords, radius, u, use_pallas=False)
+    want = grouping(feats, nbr_u)
+
+    centers = fps_gather_point_sharded(coords, m, mesh)
+    nbr = ball_query_point_sharded(centers, coords, radius, u, mesh)
+    got = grouping_point_sharded(feats, nbr, mesh)
+    np.testing.assert_allclose(np.asarray(centers), np.asarray(centers_u),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(nbr), np.asarray(nbr_u))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
