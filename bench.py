@@ -384,18 +384,21 @@ class Supervisor:
     def remaining(self):
         return self.args.deadline - (time.monotonic() - self.t_start)
 
-    def emit(self, result):
+    def emit(self, result, error=None):
         if self.emitted:
             return
         self.emitted = True
-        print(json.dumps(result if result is not None else self.failure),
-              flush=True)
+        if result is None:
+            result = dict(self.failure)
+            if error:
+                result["error"] = error
+        print(json.dumps(result), flush=True)
 
     def _on_signal(self, signum, frame):
         log(f"supervisor: caught signal {signum}, reporting and exiting")
         if self.child is not None and self.child.poll() is None:
             self.child.terminate()
-        self.emit(None)
+        self.emit(None, error=f"killed by signal {signum} mid-run")
         os._exit(0)
 
     def attempt(self, batch):
@@ -462,7 +465,8 @@ class Supervisor:
                 self.emit(result)
                 return 0
             if status in ("unretryable", "deadline"):
-                self.emit(None)
+                self.emit(None, error=f"{status} failure at batch {batch}"
+                          " (see stderr)")
                 return 0
             # retryable: only retry if the budget plausibly covers a
             # full re-trace + run (assume the retry costs about as much
@@ -472,9 +476,9 @@ class Supervisor:
                 log(f"supervisor: {self.remaining():.0f}s left < retry "
                     f"estimate {attempt_cost:.0f}s — reporting failure "
                     "instead of retrying")
-                self.emit(None)
+                self.emit(None, error="deadline too close to retry OOM")
                 return 0
-        self.emit(None)
+        self.emit(None, error="all batch sizes failed (OOM-class)")
         return 0
 
 
