@@ -204,3 +204,121 @@ def bdm_blending_multi(pc2: PC2Model, pc2_params, pvd: PVDModel,
             xs = [blend_point_clouds(out_r[s], out_p[s], kmixes[s])
                   for s in range(s_count)]
     return xs
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _jitted_nstep_fuse_multi(merge, scheduler_name: str, step_ratio: int,
+                             params, priors, recons, cameras, cond_maps,
+                             t, keys):
+    """S fusion-step forwards in one executable (multi-stream form of
+    merging._jitted_nstep_fuse; `t` traced so milestones share it)."""
+    sched = merge.schedulers[scheduler_name]
+    outs = []
+    for s in range(len(recons)):
+        b = recons[s].shape[0]
+        x_in = merge.pc2.x_t_input(recons[s], cameras[s], cond_maps[s])
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        eps = merge.fusion.apply(params["fusion_model"], x_in, priors[s],
+                                 tb, "fusion_nstep", deterministic=True)
+        if scheduler_name == "ddim":
+            outs.append(sched.step(eps, t, recons[s], key=keys[s]))
+        else:
+            outs.append(sched.step(eps, t, recons[s], keys[s]))
+    return tuple(outs)
+
+
+def bdm_merging_multi(merge_model, merge_params, pc2: PC2Model, pc2_params,
+                      pvd: PVDModel, pvd_params,
+                      batches: Sequence[Dict[str, Any]],
+                      keys: Sequence[jax.Array], num_points: int,
+                      milestones: Sequence[int], roll_step: int,
+                      scheduler: str = "ddpm",
+                      num_inference_steps: int = 1000
+                      ) -> List[jnp.ndarray]:
+    """S coupled merging samplers concurrently; stream s bit-identical to
+    `bdm_merging(..., batches[s], keys[s], ...)`. DDPM only."""
+    assert scheduler == "ddpm", "multi-stream supports ddpm only"
+    milestones = [int(m) for m in milestones]
+    times = len(milestones) - 1
+    prior_roll_step = roll_step
+    prior_milestones = milestones
+    sched = pc2.schedulers["ddpm"]
+    timesteps = sched.set_timesteps(num_inference_steps)
+    s_count = len(batches)
+    assert len(keys) == s_count
+
+    xs, cond_raw, cond_pc2, cameras, key_states = [], [], [], [], []
+    for batch, key in zip(batches, keys):
+        b = batch["image"].shape[0]
+        k_init, key = jax.random.split(key)
+        x = jax.random.normal(k_init, (b, num_points, 3), jnp.float32)
+        xs.append(x - x.mean(axis=1, keepdims=True))
+        cm = pc2.conditioning_map(
+            pc2_params, batch["image"], batch.get("mask"),
+            batch.get("distance_transform"))
+        cond_raw.append(cm)
+        cond_pc2.append(pc2.maybe_precontract(pc2_params, cm))
+        cameras.append(batch["camera"])
+        key_states.append(key)
+
+    def window(start, end):
+        return list(timesteps[num_inference_steps - start:
+                              num_inference_steps - end])
+
+    for i in range(times):
+        segs, krs, kps, kfs = [], [], [], []
+        for s in range(s_count):
+            k_seg, k_r, k_p, k_f, key_states[s] = jax.random.split(
+                key_states[s], 5)
+            segs.append(k_seg)
+            krs.append(k_r)
+            kps.append(k_p)
+            kfs.append(k_f)
+        if i == 0:
+            xs = _window_scan_multi(
+                pc2, pc2_params, xs, cameras, cond_pc2,
+                window(milestones[i], milestones[i + 1] - roll_step),
+                sched, segs)
+        elif i == times - 1:
+            xs = _window_scan_multi(
+                pc2, pc2_params, xs, cameras, cond_pc2,
+                window(milestones[i] - roll_step, milestones[i + 1]),
+                sched, segs)
+        else:
+            xs = _window_scan_multi(
+                pc2, pc2_params, xs, cameras, cond_pc2,
+                window(milestones[i] - roll_step, milestones[i + 1]),
+                sched, segs)
+            # both branches roll to milestone - roll_step + 1
+            # (`main_merging.py:487-503`)
+            ts_recon = jnp.asarray(
+                window(milestones[i + 1],
+                       milestones[i + 1] - roll_step + 1), jnp.int32)
+            ts_prior = jnp.arange(
+                prior_milestones[i + 1] - 1,
+                prior_milestones[i + 1] - prior_roll_step, -1,
+                dtype=jnp.int32)
+            steps = len(ts_recon)
+            assert steps == len(ts_prior), (steps, len(ts_prior))
+            keys_r = jnp.stack([jax.random.split(k, steps) for k in krs],
+                               axis=1)
+            keys_p = jnp.stack([jax.random.split(k, steps) for k in kps],
+                               axis=1)
+            from bdm_tpu.utils.aot_cache import aot_call
+            out_r, out_p = aot_call(
+                _jitted_fused_rolls_multi, (pc2, pvd),
+                (pc2_params, pvd_params, tuple(xs), tuple(cameras),
+                 tuple(cond_pc2), ts_recon, ts_prior, keys_r, keys_p),
+                tag="bdm-fused-rolls-multi",
+                static_key=(f"{pc2.aot_static_key()}&"
+                            f"{pvd.aot_static_key()}&S{s_count}"))
+            # recenter both branch outputs per stream (model.py:510-570)
+            priors = [p - p.mean(axis=1, keepdims=True) for p in out_p]
+            recons = [r - r.mean(axis=1, keepdims=True) for r in out_r]
+            t = jnp.asarray(milestones[i + 1] - roll_step, dtype=jnp.int32)
+            fused = _jitted_nstep_fuse_multi(
+                merge_model, scheduler, sched.step_ratio, merge_params,
+                tuple(priors), tuple(recons), tuple(cameras),
+                tuple(cond_raw), t, tuple(kfs))
+            xs = list(fused)
+    return xs

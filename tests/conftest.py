@@ -9,6 +9,11 @@ jax.config AFTER import — the env var alone is not honored.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The AOT executable cache cannot deserialize single-device executables
+# under the 8-virtual-device CPU backend (deserialization binds to all
+# local devices), so every load fails and recompiles with a warning —
+# pure overhead in tests. test_aot_cache.py re-enables it explicitly.
+os.environ.setdefault("BDM_AOT_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
