@@ -22,7 +22,8 @@ def get_dataset(cfg):
             root_dir=d.root, r2n2_dir=d.r2n2_dir, pc_dict=d.pc_dict,
             split_file=d.split_file, views_rel_path=d.views_rel_path,
             which_view=d.which_view_from24, category=d.category, split=split,
-            subset_ratio=subset, start_ratio=start, **common)
+            subset_ratio=subset, start_ratio=start,
+            build_workers=cfg.dataloader.num_workers, **common)
         train = None
         if "sample" not in cfg.run.job:
             train = make("train", d.subset_ratio, d.start_ratio)

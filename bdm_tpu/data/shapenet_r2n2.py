@@ -68,7 +68,8 @@ class ShapeNetR2N2Dataset:
                  split: str = "train", max_points: int = 4096,
                  image_size: int = 224, subset_ratio: float = 1.0,
                  start_ratio: float = 0.0,
-                 normalize_per_shape: bool = False):
+                 normalize_per_shape: bool = False,
+                 build_workers: int = 0):
         assert split in ("train", "test"), split
         self.split = split
         self.max_points = max_points
@@ -111,12 +112,24 @@ class ShapeNetR2N2Dataset:
         # eager load (the reference holds the whole split in RAM); point
         # files go through the native threaded reader when available
         from bdm_tpu.native import read_points
-        clouds, images = [], []
-        for img_path, pc_path, _, _ in records:
+
+        def _load_one(rec):
+            img_path, pc_path, _, _ = rec
             pc = read_points(pc_path)
             assert pc.shape[0] == 15000, pc_path
-            clouds.append(transform_v2_to_v1(pc))
-            images.append(_load_image(img_path, image_size))
+            return transform_v2_to_v1(pc), _load_image(img_path, image_size)
+
+        if build_workers and len(records) > 1:
+            # parallel eager build (the reference's build_data_parallel,
+            # `shapenet_r2n2.py:220-331`); threads suffice — the work is
+            # file IO + PNG decode, both GIL-releasing
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=build_workers) as ex:
+                loaded = list(ex.map(_load_one, records))
+        else:
+            loaded = [_load_one(r) for r in records]
+        clouds = [c for c, _ in loaded]
+        images = [im for _, im in loaded]
 
         # deterministic shuffle, seed 38383
         order = list(range(len(records)))

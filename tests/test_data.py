@@ -164,3 +164,24 @@ def test_r2n2_start_subset_are_ratios_of_the_same_list(fake_r2n2):
                                max_points=64, image_size=32,
                                start_ratio=1 / 3, subset_ratio=1.0)
     assert len(tail) == 2
+
+
+def test_r2n2_parallel_build_matches_sequential(fake_r2n2):
+    """build_workers > 0 (the reference's build_data_parallel analogue,
+    `shapenet_r2n2.py:220-331`) must produce identical samples — the
+    executor map preserves record order, and the seed-38383 shuffle +
+    global-np.random subsample run after loading either way."""
+    root, r2n2 = fake_r2n2
+    np.random.seed(7)
+    seq = ShapeNetR2N2Dataset(root_dir=root, r2n2_dir=r2n2, split="train",
+                              max_points=64, image_size=16)
+    np.random.seed(7)
+    par = ShapeNetR2N2Dataset(root_dir=root, r2n2_dir=r2n2, split="train",
+                              max_points=64, image_size=16,
+                              build_workers=4)
+    assert len(seq) == len(par)
+    for i in range(len(seq)):
+        a, b = seq[i], par[i]
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert a["sequence_name"] == b["sequence_name"]
