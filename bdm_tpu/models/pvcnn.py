@@ -199,7 +199,8 @@ class VoxConv(nn.Module):
                  vox_ctx=None, resolution: Optional[int] = None,
                  prepadded: bool = False,
                  prenorm: Optional[tuple] = None,
-                 emit_stats: bool = False) -> jnp.ndarray:
+                 emit_stats: bool = False,
+                 force_xla: bool = False) -> jnp.ndarray:
         cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features))
@@ -244,7 +245,10 @@ class VoxConv(nn.Module):
                 self.dtype or jnp.float32)
         r = x.shape[1]
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
-        impl = os.environ.get("BDM_CONV_IMPL", "ms")
+        # force_xla: the sequence-parallel path runs the grid convs as
+        # plain lax.conv under GSPMD (Pallas custom calls need shard_map
+        # or replication annotations the SP jit does not provide)
+        impl = "xla" if force_xla else os.environ.get("BDM_CONV_IMPL", "ms")
         if (impl != "xla" and _use_pallas_scatter() and cin <= 256
                 and r >= 2 and x.shape[1:4] == (r, r, r)):
             # dtype-preserving: PVConv feeds bf16 (cast fused upstream of
@@ -260,8 +264,8 @@ class VoxConv(nn.Module):
                 return conv3d_ms(x, kernel, bias, r)
             from bdm_tpu.ops.pallas.conv3d import conv3d
             return conv3d(x, kernel, bias, r)
-        if (_use_pallas_scatter() and cin > 256 and r >= 2
-                and x.shape[1:4] == (r, r, r)):
+        if (not force_xla and _use_pallas_scatter() and cin > 256
+                and r >= 2 and x.shape[1:4] == (r, r, r)):
             # wide inputs (the 390-ch stage-0 conv): matmul-first Pallas
             # kernel — XLA's conv runs tap-blocked from HBM here
             # (4.8 ms), im2col is col-build-bound at this width, and the
@@ -309,19 +313,30 @@ class PVConv(nn.Module):
     normalize: bool = True
     eps: float = 0.0
     dtype: Any = None  # compute dtype (params stay f32)
+    # sequence-parallel mode (SURVEY.md §2.7 large-N path): when a mesh is
+    # set and this level's point count clears sp_min_points, the
+    # point<->voxel boundary runs point-sharded via shard_map (sharded
+    # scatter partials + one grid psum; per-shard devox gather) while the
+    # replicated-grid conv stack and the pointwise branch partition under
+    # GSPMD. Same params, same math — tested bit-close to the unsharded
+    # forward on the 8-device CPU mesh (tests/test_point_sharded.py).
+    sp_mesh: Any = None
+    sp_min_points: int = 2048
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
                  deterministic: bool = True, vox_ctx=None,
                  pre_tap: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from bdm_tpu.parallel.point_sharded import sp_active
+        sp = sp_active(self.sp_mesh, features.shape[1],
+                       self.sp_min_points) and pre_tap is None
         # the voxel context (normalize + sort + counts) is feature-free and
         # shared by every PVConv of a stage when provided by the caller
-        if vox_ctx is None:
+        if vox_ctx is None and not sp:
             vox_ctx = ops.make_voxel_context(coords, self.resolution,
                                              self.normalize, self.eps)
-        norm_coords = vox_ctx.norm_coords
         from bdm_tpu.ops.voxelize import _use_pallas_scatter
-        on_tpu = _use_pallas_scatter()
+        on_tpu = _use_pallas_scatter() and not sp
 
         def to_vox_dtype(x):
             # bf16 grid intermediates on the TPU path: the cast sits
@@ -329,7 +344,21 @@ class PVConv(nn.Module):
             # producing fusion (a standalone cast+pad pass cost 1.7 ms)
             return x.astype(jnp.bfloat16) if on_tpu else x
 
-        if pre_tap is not None:
+        norm_coords = None if sp else vox_ctx.norm_coords
+
+        if sp:
+            # point-sharded voxel boundary: sharded scatter partials +
+            # one psum build the replicated grid; the conv stack below
+            # runs replicated (XLA convs — see VoxConv force_xla)
+            from bdm_tpu.parallel.point_sharded import (
+                voxel_grid_point_sharded)
+            grid, norm_coords = voxel_grid_point_sharded(
+                features, coords, self.resolution, self.sp_mesh,
+                normalize=self.normalize, eps=self.eps)
+            g = _barrier(to_vox_dtype(grid))
+            g = VoxConv(self.out_channels, dtype=self.dtype,
+                        name="vconv0")(g, force_xla=True)
+        elif pre_tap is not None:
             # pre-contracted conditioning: skip the wide voxelize+conv —
             # scatter the per-point tap values and shift-sum instead
             g = VoxConv(self.out_channels, dtype=self.dtype,
@@ -435,7 +464,7 @@ class PVConv(nn.Module):
             g = to_vox_dtype(g)
             g = _barrier(g)
             g = VoxConv(self.out_channels, dtype=self.dtype,
-                        name="vconv1")(g)
+                        name="vconv1")(g, force_xla=sp)
         g = _barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm1")(g)
@@ -458,8 +487,14 @@ class PVConv(nn.Module):
         # producing GN/swish fusion; halves the gather's reads)
         g = to_vox_dtype(g)
         acc_dt = self.dtype or jnp.float32
-        voxel_features = ops.trilinear_devoxelize(
-            g, norm_coords).astype(acc_dt)
+        if sp:
+            from bdm_tpu.parallel.point_sharded import (
+                devoxelize_point_sharded)
+            voxel_features = devoxelize_point_sharded(
+                g, norm_coords, self.sp_mesh).astype(acc_dt)
+        else:
+            voxel_features = ops.trilinear_devoxelize(
+                g, norm_coords).astype(acc_dt)
         if se_scale is not None:
             voxel_features = voxel_features * se_scale[:, None, :].astype(
                 acc_dt)
@@ -483,15 +518,38 @@ class PointNetSAModule(nn.Module):
     mlp: Sequence[int]
     include_coordinates: bool = True
     dtype: Any = None
+    sp_mesh: Any = None          # see PVConv.sp_mesh
+    sp_min_points: int = 2048
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
                  temb: jnp.ndarray):
-        idx = ops.furthest_point_sample(coords, self.num_centers)
-        centers = ops.gather(coords, idx)                      # (B, M, 3)
-        nbr = ops.ball_query(centers, coords, self.radius,
-                             self.num_neighbors)               # (B, M, U)
+        from bdm_tpu.parallel.point_sharded import sp_active
+        sp = sp_active(self.sp_mesh, coords.shape[1], self.sp_min_points)
+        if sp:
+            # point-sharded geometry (bit-identical collectives:
+            # parallel/point_sharded.py); the downsampled outputs
+            # (M <= 1024 centers) come back replicated
+            from bdm_tpu.parallel.point_sharded import (
+                ball_query_point_sharded, fps_point_sharded,
+                gather_point_sharded, grouping_point_sharded)
+            idx = fps_point_sharded(coords, self.num_centers, self.sp_mesh)
+            centers = gather_point_sharded(coords, idx, self.sp_mesh)
+            nbr = ball_query_point_sharded(
+                centers, coords, self.radius, self.num_neighbors,
+                self.sp_mesh)
+        else:
+            idx = ops.furthest_point_sample(coords, self.num_centers)
+            centers = ops.gather(coords, idx)                  # (B, M, 3)
+            nbr = ops.ball_query(centers, coords, self.radius,
+                                 self.num_neighbors)           # (B, M, U)
         acc_dt = self.dtype or jnp.float32
+
+        def group(x):
+            if sp:
+                return grouping_point_sharded(x, nbr, self.sp_mesh)
+            return ops.grouping(x, nbr)
+
         if self.include_coordinates:
             # ONE gather of [coords | features]: a separate 3-channel
             # coords gather wastes 97% of every lane row (profiled 1.5 ms
@@ -499,14 +557,14 @@ class PointNetSAModule(nn.Module):
             # Under bf16 the rel-coords ride as bf16 too — they are MLP
             # inputs from here on, not geometry (FPS/ball query above
             # consumed the f32 coords).
-            both = ops.grouping(
+            both = group(
                 jnp.concatenate([coords.astype(acc_dt),
-                                 features.astype(acc_dt)], axis=-1), nbr)
+                                 features.astype(acc_dt)], axis=-1))
             nbr_feats = jnp.concatenate(
                 [both[..., :3] - centers[:, :, None, :].astype(acc_dt),
                  both[..., 3:]], axis=-1)
         else:
-            nbr_feats = ops.grouping(features, nbr)
+            nbr_feats = group(features)
         f = SharedMLP(tuple(self.mlp), dtype=self.dtype,
                       name="mlp")(nbr_feats)              # (B, M, U, C)
         f = f.max(axis=2).astype(acc_dt)
@@ -544,15 +602,26 @@ class PointNetFPModule(nn.Module):
 
     mlp: Sequence[int]
     dtype: Any = None
+    sp_mesh: Any = None          # see PVConv.sp_mesh
+    sp_min_points: int = 2048
 
     @nn.compact
     def __call__(self, fine_coords: jnp.ndarray, coarse_coords: jnp.ndarray,
                  coarse_features: jnp.ndarray,
                  skip_features: Optional[jnp.ndarray],
                  temb: jnp.ndarray):
+        from bdm_tpu.parallel.point_sharded import sp_active
         acc_dt = self.dtype or jnp.float32
-        f = ops.three_nn_interpolate(fine_coords, coarse_coords,
-                                     coarse_features)
+        if sp_active(self.sp_mesh, fine_coords.shape[1],
+                     self.sp_min_points):
+            # query axis sharded, centers replicated: fully local upsample
+            from bdm_tpu.parallel.point_sharded import (
+                three_nn_interpolate_point_sharded)
+            f = three_nn_interpolate_point_sharded(
+                fine_coords, coarse_coords, coarse_features, self.sp_mesh)
+        else:
+            f = ops.three_nn_interpolate(fine_coords, coarse_coords,
+                                         coarse_features)
         n = fine_coords.shape[1]
         # cast every part to the compute dtype BEFORE the concat so the
         # materialized (B, N, C) buffer rides at half width under bf16
@@ -579,6 +648,8 @@ class PVCNNEncoder(nn.Module):
     use_att: bool = True
     dropout: float = 0.1
     dtype: Any = None
+    sp_mesh: Any = None          # see PVConv.sp_mesh
+    sp_min_points: int = 2048
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -588,6 +659,8 @@ class PVCNNEncoder(nn.Module):
         PointNetSAModule docstring), broadcast at each concat site.
         pre_tap: optional pre-contracted conditioning taps for stage 0's
         first PVConv (see VoxConv)."""
+        from bdm_tpu.parallel.point_sharded import sp_active
+        sp_kw = dict(sp_mesh=self.sp_mesh, sp_min_points=self.sp_min_points)
         coords_list, in_features_list = [], []
         for i, stage in enumerate(self.specs.sa_stages):
             in_features_list.append(features)
@@ -602,13 +675,15 @@ class PVCNNEncoder(nn.Module):
                      jnp.broadcast_to(temb[:, None, :].astype(acc_dt),
                                       (temb.shape[0], n, temb.shape[-1]))],
                     axis=-1)
+            stage_sp = sp_active(self.sp_mesh, coords.shape[1],
+                                 self.sp_min_points)
             vox_ctx = (ops.make_voxel_context(coords,
                                               stage.convs[0].resolution)
-                       if stage.convs else None)
+                       if stage.convs and not stage_sp else None)
             for p, cs in enumerate(stage.convs):
                 f = PVConv(cs.out_channels, cs.resolution, cs.attention,
                            dropout=self.dropout, dtype=self.dtype,
-                           name=f"sa{i}_conv{p}")(
+                           name=f"sa{i}_conv{p}", **sp_kw)(
                     f, coords, deterministic, vox_ctx,
                     pre_tap=pre_tap if (i == 0 and p == 0) else None)
             sa = stage.sa
@@ -621,7 +696,8 @@ class PVCNNEncoder(nn.Module):
                 f, coords, temb = PointNetSAModule(
                     num_centers=sa.num_centers, radius=sa.radius,
                     num_neighbors=sa.num_neighbors, mlp=sa.mlp,
-                    dtype=self.dtype, name=f"sa{i}_pool")(f, coords, temb)
+                    dtype=self.dtype, name=f"sa{i}_pool", **sp_kw)(
+                    f, coords, temb)
             features = f
         if self.use_att:
             features = Attention(num_groups=8, dtype=self.dtype,
@@ -638,26 +714,32 @@ class PVCNNDecoder(nn.Module):
     dropout: float = 0.1
     classifier_init_scale: Optional[float] = 1e-6
     dtype: Any = None
+    sp_mesh: Any = None          # see PVConv.sp_mesh
+    sp_min_points: int = 2048
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
                  temb: jnp.ndarray, coords_list, skip_list,
                  deterministic: bool = True):
+        from bdm_tpu.parallel.point_sharded import sp_active
+        sp_kw = dict(sp_mesh=self.sp_mesh, sp_min_points=self.sp_min_points)
         for fp_idx, stage in enumerate(self.specs.fp_stages):
             fine_coords = coords_list[-1 - fp_idx]
             skip = skip_list[-1 - fp_idx]
             features, coords, temb = PointNetFPModule(
                 mlp=stage.fp_mlp, dtype=self.dtype,
-                name=f"fp{fp_idx}_mlp")(
+                name=f"fp{fp_idx}_mlp", **sp_kw)(
                 fine_coords, coords, features, skip, temb)
+            stage_sp = sp_active(self.sp_mesh, coords.shape[1],
+                                 self.sp_min_points)
             vox_ctx = (ops.make_voxel_context(coords,
                                               stage.convs[0].resolution)
-                       if stage.convs else None)
+                       if stage.convs and not stage_sp else None)
             for p, cs in enumerate(stage.convs):
                 features = PVConv(
                     cs.out_channels, cs.resolution, cs.attention,
                     dropout=self.dropout, dtype=self.dtype,
-                    name=f"fp{fp_idx}_conv{p}")(
+                    name=f"fp{fp_idx}_conv{p}", **sp_kw)(
                     features, coords, deterministic, vox_ctx)
 
         # classifier: SharedMLP(128) -> Dropout -> Dense(out)
@@ -699,6 +781,14 @@ class PVCNN2(nn.Module):
     # compute dtype: None/f32 for parity; jnp.bfloat16 trades ~1e-2 relative
     # activation error for ~2x MXU/HBM throughput (geometry ops stay f32)
     dtype: Any = None
+    # sequence-parallel mode (SURVEY.md §2.7): shard the point axis of
+    # every level with >= sp_min_points points over the "sp" axis of this
+    # mesh. Geometry ops (FPS/ball query/grouping/scatter/devox) run as
+    # bit-identical shard_map collectives (parallel/point_sharded.py);
+    # dense compute (SharedMLPs, grid convs, GroupNorms) partitions under
+    # GSPMD, which inserts the cross-shard stat reductions automatically.
+    sp_mesh: Any = None
+    sp_min_points: int = 2048
 
     def specs(self) -> PVCNN2Specs:
         return build_pvcnn2_specs(
@@ -720,15 +810,15 @@ class PVCNN2(nn.Module):
         coords = inputs[..., :3].astype(jnp.float32)
         features = inputs if self.dtype is None else inputs.astype(self.dtype)
 
+        sp_kw = dict(sp_mesh=self.sp_mesh, sp_min_points=self.sp_min_points)
         feats, ccoords, ctemb, coords_list, skip_list = PVCNNEncoder(
             specs=specs, use_att=self.use_att, dropout=self.dropout,
-            dtype=self.dtype, name="encoder")(features, coords, temb,
-                                              deterministic,
-                                              pre_tap=pre_tap)
+            dtype=self.dtype, name="encoder", **sp_kw)(
+            features, coords, temb, deterministic, pre_tap=pre_tap)
         skip_list[0] = inputs[..., 3:]
 
         return PVCNNDecoder(
             specs=specs, out_channels=self.out_channels, dropout=self.dropout,
             classifier_init_scale=self.classifier_init_scale,
-            dtype=self.dtype, name="decoder")(
+            dtype=self.dtype, name="decoder", **sp_kw)(
             feats, ccoords, ctemb, coords_list, skip_list, deterministic)

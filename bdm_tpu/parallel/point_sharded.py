@@ -198,6 +198,133 @@ def fps_gather_point_sharded(coords: jnp.ndarray, num_samples: int,
                      out_specs=P())(jax.lax.stop_gradient(coords), idx)
 
 
+def gather_point_sharded(values: jnp.ndarray, indices: jnp.ndarray,
+                         mesh: Mesh, axis: str = SP_AXIS) -> jnp.ndarray:
+    """Gather rows of point-sharded `values` (B, N, C) at replicated
+    GLOBAL indices (B, M) -> replicated (B, M, C): each shard gathers the
+    rows it owns (clipped elsewhere, masked to zero), ONE psum merges.
+    Equal to `jnp.take_along_axis(values, indices[..., None], axis=1)`.
+    """
+    n = values.shape[1]
+    p = mesh.shape[axis]
+    assert n % p == 0, (n, p)
+    shard_n = n // p
+
+    def shard_fn(v, i):
+        pid = jax.lax.axis_index(axis)
+        off = (pid * shard_n).astype(jnp.int32)
+        own = (i >= off) & (i < off + shard_n)                # (B, M)
+        lv = jnp.take_along_axis(
+            v, jnp.clip(i - off, 0, shard_n - 1)[..., None], axis=1)
+        return jax.lax.psum(jnp.where(own[..., None], lv,
+                                      jnp.zeros((), lv.dtype)), axis)
+
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(None, axis, None), P(None, None)),
+                     out_specs=P())(values, indices)
+
+
+def voxel_grid_point_sharded(features: jnp.ndarray, coords: jnp.ndarray,
+                             resolution: int, mesh: Mesh,
+                             axis: str = SP_AXIS, normalize: bool = True,
+                             eps: float = 0.0):
+    """The point->voxel half of the PVConv voxel branch, point-sharded:
+    sharded scatter-mean partials + ONE psum of the (tiny) grid.
+
+    Returns (grid (B, R, R, R, C) replicated, norm_coords (B, N, 3)
+    point-sharded). Matches `ops.make_voxel_context` +
+    `ops.avg_voxelize_ctx` up to float-sum reassociation: the
+    normalization stats ride O(B)-byte collectives (psum of coordinate
+    sums, pmax of the per-shard max norm — `modules/voxelization.py:16-25`
+    semantics), the scatter partials one (B, R^3, C+1) psum.
+    """
+    from bdm_tpu.ops.voxelize import _flat_voxel_ids
+    b, n, c = features.shape
+    r = int(resolution)
+    p = mesh.shape[axis]
+    assert n % p == 0, (n, p)
+
+    def shard_fn(f, co):              # f: (B, N/P, C), co: (B, N/P, 3)
+        co = jax.lax.stop_gradient(co)
+        mean = jax.lax.psum(jnp.sum(co, axis=1), axis) / n      # (B, 3)
+        centered = co - mean[:, None, :]
+        if normalize:
+            norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)
+            local_max = norm.max(axis=1, keepdims=True)         # (B,1,1)
+            denom = jax.lax.pmax(local_max, axis) * 2.0 + eps
+            norm_coords = centered / denom + 0.5
+        else:
+            norm_coords = (centered + 1.0) / 2.0
+        norm_coords = jnp.clip(norm_coords * r, 0.0, r - 1)
+        vox = jnp.round(norm_coords).astype(jnp.int32)
+        ids = _flat_voxel_ids(vox, r)                           # (B, N/P)
+        f32 = f.astype(jnp.float32)
+        aug = jnp.concatenate(
+            [f32, jnp.ones((b, f32.shape[1], 1), jnp.float32)], axis=-1)
+        flat = (ids + jnp.arange(b, dtype=jnp.int32)[:, None]
+                * (r ** 3)).reshape(-1)
+        part = jax.ops.segment_sum(
+            aug.reshape(-1, c + 1), flat,
+            num_segments=b * r ** 3).reshape(b, r ** 3, c + 1)
+        tot = jax.lax.psum(part, axis)                # (B, R^3, C+1)
+        counts = jnp.maximum(tot[..., c:], 1.0)
+        grid = (tot[..., :c] / counts).reshape(b, r, r, r, c)
+        return grid.astype(f.dtype), norm_coords
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=(P(), P(None, axis, None)), check_vma=False)(
+        features, coords)
+
+
+def devoxelize_point_sharded(grid: jnp.ndarray, norm_coords: jnp.ndarray,
+                             mesh: Mesh, axis: str = SP_AXIS
+                             ) -> jnp.ndarray:
+    """Trilinear devoxelization with the query point axis sharded and the
+    grid replicated — embarrassingly parallel (the voxel->point half of
+    the PVConv branch). Equal to `ops.trilinear_devoxelize`."""
+    from bdm_tpu.ops.voxelize import trilinear_devoxelize
+
+    def shard_fn(g, nc):
+        return trilinear_devoxelize(g, nc)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=P(None, axis, None))(grid, norm_coords)
+
+
+def three_nn_interpolate_point_sharded(points: jnp.ndarray,
+                                       centers: jnp.ndarray,
+                                       centers_features: jnp.ndarray,
+                                       mesh: Mesh, axis: str = SP_AXIS
+                                       ) -> jnp.ndarray:
+    """3-NN inverse-distance interpolation with the QUERY point axis
+    sharded, centers + their features replicated: fully local, no
+    collective (the FP upsample to the fine level). Equal to
+    `ops.three_nn_interpolate`."""
+    from bdm_tpu.ops.interpolate import three_nn_interpolate
+
+    def shard_fn(pts, cen, cf):
+        return three_nn_interpolate(pts, cen, cf)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None),
+                  P(None, None, None)),
+        out_specs=P(None, axis, None))(points, centers, centers_features)
+
+
+def sp_active(sp_mesh, n: int, min_points: int,
+              axis: str = SP_AXIS) -> bool:
+    """Static (trace-time) predicate: shard this level's point axis?"""
+    if sp_mesh is None:
+        return False
+    p = sp_mesh.shape.get(axis, 0)
+    return p > 1 and n >= min_points and n % p == 0
+
+
 def grouping_point_sharded(features: jnp.ndarray, indices: jnp.ndarray,
                            mesh: Mesh, axis: str = SP_AXIS) -> jnp.ndarray:
     """Neighbor-feature grouping with the FEATURE point axis sharded and

@@ -136,10 +136,16 @@ class PC2Model:
     """
 
     def __init__(self, cfg: ProjectionConfig = ProjectionConfig(),
-                 sa_blocks=None, fp_blocks=None):
+                 sa_blocks=None, fp_blocks=None, sp_mesh=None,
+                 sp_min_points: int = 2048):
         self.cfg = cfg
         self._sa_blocks = sa_blocks
         self._fp_blocks = fp_blocks
+        # sequence-parallel backbone (SURVEY.md §2.7 large-N path): shard
+        # the fine point levels over this mesh's "sp" axis — see
+        # models/pvcnn.py::PVCNN2.sp_mesh
+        self._sp_mesh = sp_mesh
+        self._sp_min_points = sp_min_points
         self.feature_model = FeatureModel(image_size=cfg.image_size,
                                           model_name=cfg.image_feature_model)
         # input channel accounting (`projection_model.py:66-78`)
@@ -171,6 +177,9 @@ class PC2Model:
                       extra_feature_channels=in_channels - 3,
                       dtype=self.compute_dtype)
         if cfg.point_cloud_model == "pvcnn":
+            if sp_mesh is not None:
+                backbone_kwargs.update(sp_mesh=sp_mesh,
+                                       sp_min_points=sp_min_points)
             self.backbone = PVCNN2(**common, **backbone_kwargs)
         elif cfg.point_cloud_model == "simple":
             from bdm_tpu.models.simple import SimplePointModel
@@ -199,7 +208,10 @@ class PC2Model:
     def aot_static_key(self) -> str:
         """Stable description of everything static that shapes the traced
         graph (see utils/aot_cache.py)."""
-        return f"pc2|{self.cfg!r}|{self._sa_blocks!r}|{self._fp_blocks!r}"
+        sp = ("" if self._sp_mesh is None
+              else f"|sp{dict(self._sp_mesh.shape)!r}:{self._sp_min_points}")
+        return (f"pc2|{self.cfg!r}|{self._sa_blocks!r}"
+                f"|{self._fp_blocks!r}{sp}")
 
     # ------------------------------------------------------------------ init
     def init_params(self, key: jax.Array, num_points: int = 128

@@ -143,3 +143,43 @@ def test_sa_stage_data_path_point_sharded(rng, mesh):
                                rtol=0, atol=0)
     np.testing.assert_array_equal(np.asarray(nbr), np.asarray(nbr_u))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+TINY_SA = (
+    ((8, 2, 4), (16, 0.3, 8, (8, 16))),
+    ((16, 2, 4), (8, 0.4, 8, (16, 32))),
+    (None, (4, 0.8, 8, (32, 64))),
+)
+TINY_FP = (
+    ((32, 32), (16, 1, 4)),
+    ((16, 16), (16, 1, 4)),
+    ((16, 8), (8, 1, 4)),
+)
+
+
+def test_pvcnn2_full_backbone_point_sharded(rng, mesh):
+    """The FULL PVCNN2 forward with the fine point axis sequence-parallel
+    over the 8-device mesh == the unsharded forward (same params), up to
+    float-reduction reassociation. Geometry ops ride the bit-identical
+    shard_map collectives; SharedMLPs/grid convs/GroupNorms partition
+    under GSPMD (cross-shard GN stats are XLA-inserted all-reduces)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bdm_tpu.models.pvcnn import PVCNN2
+    b, n, extra = 2, 256, 5
+    common = dict(out_channels=3, embed_dim=8,
+                  extra_feature_channels=extra, sa_blocks=TINY_SA,
+                  fp_blocks=TINY_FP, classifier_init_scale=None)
+    model = PVCNN2(**common)
+    inputs = jnp.asarray(
+        rng.standard_normal((b, n, 3 + extra)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), inputs, t)
+    want = model.apply(params, inputs, t)
+
+    model_sp = PVCNN2(**common, sp_mesh=mesh, sp_min_points=64)
+    x_sp = jax.device_put(inputs, NamedSharding(mesh, P(None, "sp", None)))
+    got = jax.jit(model_sp.apply)(params, x_sp, t)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=5e-5)
