@@ -198,7 +198,9 @@ def run_once(batch_size, points, repeats, quick, precision,
     # persistent compile cache: the ~5 big window-scan executables cost
     # ~10 min each to compile cold through the remote compile helper;
     # cached reruns skip that entirely
-    jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BDM_COMPILE_CACHE_DIR",
+                                     "/tmp/bdm_tpu_xla_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_log_compiles", True)  # per-executable timings
@@ -342,6 +344,10 @@ def _maybe_inject_failure():
         raise AssertionError("injected self-check failure")
     if mode == "hang":
         time.sleep(3600)
+    if mode == "segv":
+        # simulate the corrupt-compile-cache crash (jax segfaults
+        # deserializing a half-written cache entry)
+        os.kill(os.getpid(), signal.SIGSEGV)
     raise ValueError(f"unknown BDM_BENCH_FAIL={mode}")
 
 
@@ -453,16 +459,41 @@ class Supervisor:
             return "unretryable", None
         if rc == EXIT_RETRYABLE:
             return "retryable", None
+        if rc is not None and rc < 0:
+            # killed by a signal (rc = -signum). SIGSEGV/SIGABRT here has
+            # one known recoverable cause: a corrupt entry in the
+            # persistent compile cache (jax segfaults deserializing it —
+            # observed when an earlier run died mid-write). Report it as
+            # its own class so run() can wipe the cache and retry once.
+            return "crashed", None
         return "unretryable", None
 
     def run(self):
         batch = self.args.batch
+        crash_retried = False
         while batch >= 1:
             t0 = time.monotonic()
             status, result = self.attempt(batch)
             attempt_cost = time.monotonic() - t0
             if status == "ok":
                 self.emit(result)
+                return 0
+            if status == "crashed":
+                # one cache-wipe retry at the SAME batch: a corrupt
+                # compile cache is recoverable, but the retry re-pays the
+                # full cold compile — only attempt it with real budget
+                if not crash_retried and self.remaining() > 420.0:
+                    crash_retried = True
+                    import shutil
+                    cache = os.environ.get("BDM_COMPILE_CACHE_DIR",
+                                           "/tmp/bdm_tpu_xla_cache")
+                    log(f"supervisor: worker died on a signal — wiping "
+                        f"{cache} (corrupt-cache suspicion) and retrying "
+                        f"batch {batch} once")
+                    shutil.rmtree(cache, ignore_errors=True)
+                    continue
+                self.emit(None, error=f"worker crashed at batch {batch}"
+                          " (signal; see stderr)")
                 return 0
             if status in ("unretryable", "deadline"):
                 self.emit(None, error=f"{status} failure at batch {batch}"

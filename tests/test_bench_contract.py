@@ -116,3 +116,22 @@ def test_quick_bench_end_to_end_succeeds():
     assert lines[0]["value"] > 0
     assert lines[0]["unit"] == "clouds/sec/chip"
     assert "vs_baseline" in lines[0]
+
+
+def test_worker_segfault_wipes_cache_and_retries_once(tmp_path):
+    """A signal-killed worker (the corrupt-compile-cache segfault seen in
+    round 4: jax crashed deserializing a half-written cache entry) gets
+    ONE same-batch retry after the cache dir is wiped, then reports."""
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    (cache / "entry").write_bytes(b"corrupt")
+    proc = _run(env_extra={"BDM_BENCH_FAIL": "segv",
+                           "BDM_COMPILE_CACHE_DIR": str(cache)})
+    assert proc.returncode == 0
+    lines = _json_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.0
+    assert "worker crashed" in lines[0]["error"]
+    assert proc.stderr.count("attempt batch=8") == 2  # same batch, once
+    assert "wiping" in proc.stderr
+    assert not cache.exists()  # the corrupt cache was removed
