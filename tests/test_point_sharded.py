@@ -183,3 +183,36 @@ def test_pvcnn2_full_backbone_point_sharded(rng, mesh):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=5e-5)
+
+
+def test_pvcnn2_point_sharded_grad_matches(rng, mesh):
+    """Gradients flow through the sequence-parallel forward (shard_map
+    collectives + GSPMD partitions are differentiable) and match the
+    unsharded gradients — the SP path is trainable, not inference-only."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bdm_tpu.models.pvcnn import PVCNN2
+    b, n, extra = 2, 128, 5
+    common = dict(out_channels=3, embed_dim=8,
+                  extra_feature_channels=extra, sa_blocks=TINY_SA,
+                  fp_blocks=TINY_FP, classifier_init_scale=None)
+    model = PVCNN2(**common)
+    model_sp = PVCNN2(**common, sp_mesh=mesh, sp_min_points=64)
+    inputs = jnp.asarray(
+        rng.standard_normal((b, n, 3 + extra)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), inputs, t)
+
+    def loss(m):
+        return lambda p, x: jnp.mean((m.apply(p, x, t) - tgt) ** 2)
+
+    g_want = jax.grad(loss(model))(params, inputs)
+    x_sp = jax.device_put(inputs, NamedSharding(mesh, P(None, "sp", None)))
+    g_got = jax.jit(jax.grad(loss(model_sp)))(params, x_sp)
+    flat_w, _ = jax.tree_util.tree_flatten(g_want)
+    flat_g, _ = jax.tree_util.tree_flatten(g_got)
+    assert len(flat_w) == len(flat_g)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=1e-5)
