@@ -56,10 +56,11 @@ PY
 }
 
 run_multistream () {
-  local dir="/tmp/bdm_prof_ms2"
+  local s="$1"
+  local dir="/tmp/bdm_prof_ms${s}"
   rm -rf "$dir"
-  echo "=== variant: multistream S=2 (b8 each) ==="
-  BDM_PROF_DIR="$dir" timeout 3000 python - <<PY
+  echo "=== variant: multistream S=${s} (b8 each) ==="
+  BDM_MS_STREAMS="$s" BDM_PROF_DIR="$dir" timeout 3000 python - <<PY
 import os, sys, time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
@@ -72,32 +73,36 @@ from __graft_entry__ import _synthetic_batch
 pc2 = PC2Model(ProjectionConfig(mixed_precision="bf16"))
 params = pc2.init_params(jax.random.PRNGKey(0), num_points=1024)
 rng = np.random.default_rng(0)
+S = int(os.environ.get("BDM_MS_STREAMS", "2"))
 batches = [_synthetic_batch(8, 4096, pc2.cfg.image_size,
-                            np.random.default_rng(s)) for s in range(2)]
+                            np.random.default_rng(s)) for s in range(S)]
 conds = []
 for b in batches:
     c = pc2.conditioning_map(params, b["image"])
     conds.append(pc2.maybe_precontract(params, c))
 xs = [jnp.asarray(np.random.default_rng(s).standard_normal(
-    (8, 4096, 3)).astype(np.float32)) for s in range(2)]
+    (8, 4096, 3)).astype(np.float32)) for s in range(S)]
 cams = [b["camera"] for b in batches]
 sched = pc2.schedulers["ddpm"]
 ts = list(range(500, 484, -1))
-keys = [jax.random.PRNGKey(1), jax.random.PRNGKey(2)]
+keys = [jax.random.PRNGKey(1 + s) for s in range(S)]
 def run(xs):
     return _window_scan_multi(pc2, params, xs, cams, conds, ts, sched,
                               keys)
 t0 = time.time()
 out = run(xs)
-out[0].block_until_ready(); out[1].block_until_ready()
+for o in out:
+    o.block_until_ready()
 print(f"compiled in {time.time()-t0:.0f}s", flush=True)
 assert all(bool(np.isfinite(np.asarray(o)).all()) for o in out)
 jax.profiler.start_trace(os.environ["BDM_PROF_DIR"])
 for _ in range(3):
     o2 = run(xs)
-    o2[0].block_until_ready(); o2[1].block_until_ready()
+    for o in o2:
+        o.block_until_ready()
 jax.profiler.stop_trace()
-print("profiled (per-step totals are for 16 clouds, not 8)", flush=True)
+print(f"profiled (per-step totals are for {8*S} clouds, not 8)",
+      flush=True)
 PY
   timeout 600 python tools/parse_xplane.py "$dir" --iters 48 --agg 2>/dev/null | head -25
 }
@@ -112,7 +117,9 @@ for v in $SEL; do
     nobarrier)   run_variant nobarrier BDM_BARRIERS=0 ;;
     interp_mm)   run_variant interp_mm BDM_INTERP=onehot ;;
     bq_rank)     run_variant bq_rank BDM_BQ=rank ;;
-    ms2)         run_multistream ;;
+    ms2)         run_multistream 2 ;;
+    ms3)         run_multistream 3 ;;
+    ms4)         run_multistream 4 ;;
     *) echo "unknown variant $v" ;;
   esac
 done
