@@ -7,6 +7,11 @@ scan-order and first-occurrence tie-break rules (`sampling.cu:103-148`,
 `ball_query.cu:19-58`) — so results are bit-identical to the unsharded
 ops and therefore to the reference.
 
+Every shard_map here is MANUAL only over the "sp" axis (axis_names):
+on a multi-axis mesh (e.g. ("dp", "sp")) the remaining axes stay
+automatic, so the islands compose with data parallelism — GSPMD keeps
+partitioning the batch dimension through them.
+
 Collective pattern: per-shard partials + an O(P)-byte merge collective
 (independent of N), the standard sequence-parallel recipe for
 nearest-neighbor ops:
@@ -97,7 +102,7 @@ def fps_point_sharded(coords: jnp.ndarray, num_samples: int, mesh: Mesh,
             1, m, body, (dist0, last0, indices0))
         return indices
 
-    return shard_map(shard_fn, mesh=mesh, in_specs=P(None, axis, None),
+    return shard_map(shard_fn, mesh=mesh, axis_names=frozenset({axis}), in_specs=P(None, axis, None),
                      out_specs=P())(coords)
 
 
@@ -147,7 +152,7 @@ def ball_query_point_sharded(centers: jnp.ndarray, points: jnp.ndarray,
     # on every shard, but vma tracking can't infer replication through
     # all_gather (it marks the output varying)
     hits = shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, None, None), P(None, axis, None)),
         out_specs=P(), check_vma=False)(centers, points)
     first = hits[..., 0:1]
@@ -168,7 +173,7 @@ def three_nn_point_sharded(points: jnp.ndarray, centers: jnp.ndarray,
         return three_nn(pts, cen, use_pallas=False)
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, axis, None), P(None, None, None)),
         out_specs=(P(None, axis, None), P(None, axis, None)))(
         points, centers)
@@ -193,7 +198,7 @@ def fps_gather_point_sharded(coords: jnp.ndarray, num_samples: int,
             c, jnp.clip(i - off, 0, shard_n - 1)[..., None], axis=1)
         return jax.lax.psum(jnp.where(own[..., None], lc, 0.0), axis)
 
-    return shard_map(shard_fn, mesh=mesh,
+    return shard_map(shard_fn, mesh=mesh, axis_names=frozenset({axis}),
                      in_specs=(P(None, axis, None), P(None, None)),
                      out_specs=P())(jax.lax.stop_gradient(coords), idx)
 
@@ -219,7 +224,7 @@ def gather_point_sharded(values: jnp.ndarray, indices: jnp.ndarray,
         return jax.lax.psum(jnp.where(own[..., None], lv,
                                       jnp.zeros((), lv.dtype)), axis)
 
-    return shard_map(shard_fn, mesh=mesh,
+    return shard_map(shard_fn, mesh=mesh, axis_names=frozenset({axis}),
                      in_specs=(P(None, axis, None), P(None, None)),
                      out_specs=P())(values, indices)
 
@@ -272,7 +277,7 @@ def voxel_grid_point_sharded(features: jnp.ndarray, coords: jnp.ndarray,
         return grid.astype(f.dtype), norm_coords
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, axis, None), P(None, axis, None)),
         out_specs=(P(), P(None, axis, None)), check_vma=False)(
         features, coords)
@@ -290,7 +295,7 @@ def devoxelize_point_sharded(grid: jnp.ndarray, norm_coords: jnp.ndarray,
         return trilinear_devoxelize(g, nc)
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(), P(None, axis, None)),
         out_specs=P(None, axis, None))(grid, norm_coords)
 
@@ -310,7 +315,7 @@ def three_nn_interpolate_point_sharded(points: jnp.ndarray,
         return three_nn_interpolate(pts, cen, cf)
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, axis, None), P(None, None, None),
                   P(None, None, None)),
         out_specs=P(None, axis, None))(points, centers, centers_features)
@@ -346,7 +351,7 @@ def grouping_point_sharded(features: jnp.ndarray, indices: jnp.ndarray,
         return grouping(full, i)
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, axis, None), P(None, None, None)),
         out_specs=P(), check_vma=False)(features, indices)
 
@@ -408,6 +413,6 @@ def point_to_voxel_to_point_sharded(features: jnp.ndarray,
         return trilinear_devoxelize(out_grid, norm_coords)
 
     return shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn, mesh=mesh, axis_names=frozenset({axis}),
         in_specs=(P(None, axis, None), P(None, axis, None)),
         out_specs=P(None, axis, None), check_vma=False)(features, coords)

@@ -216,3 +216,33 @@ def test_pvcnn2_point_sharded_grad_matches(rng, mesh):
     for w, g in zip(flat_w, flat_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_pvcnn2_point_sharded_composes_with_dp(rng):
+    """SP composes with data parallelism on a 2-D (dp=2, sp=4) mesh: the
+    shard_map islands are manual only over "sp" (axis_names), so GSPMD
+    keeps the batch axis partitioned straight through them."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from bdm_tpu.models.pvcnn import PVCNN2
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("dp", "sp"))
+    b, n, extra = 2, 256, 5
+    common = dict(out_channels=3, embed_dim=8,
+                  extra_feature_channels=extra, sa_blocks=TINY_SA,
+                  fp_blocks=TINY_FP, classifier_init_scale=None)
+    model = PVCNN2(**common)
+    inputs = jnp.asarray(
+        rng.standard_normal((b, n, 3 + extra)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), inputs, t)
+    want = model.apply(params, inputs, t)
+
+    model_sp = PVCNN2(**common, sp_mesh=mesh2, sp_min_points=64)
+    x_sp = jax.device_put(inputs,
+                          NamedSharding(mesh2, P("dp", "sp", None)))
+    got = jax.jit(model_sp.apply)(params, x_sp, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=5e-5)
