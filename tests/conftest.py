@@ -26,8 +26,12 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA compiles dominate test runtime on small
-# hosts; cache them across pytest invocations.
-jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
+# hosts; cache them across pytest invocations. Env-overridable so a pytest
+# run can use a PRIVATE cache dir while a TPU bench owns the default one —
+# two jax processes sharing this directory have crashed with SIGSEGV/
+# SIGABRT read/write races (round-3 runbook note 6b).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BDM_XLA_CACHE", "/tmp/bdm_tpu_xla_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
