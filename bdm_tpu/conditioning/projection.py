@@ -185,7 +185,12 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
         points: (B, N, 3) world-space points (x_t positions).
         camera: batched camera (leading dim B).
         feature_map: (B, H, W, C) per-pixel conditioning (colors + ViT
-            features [+ mask/distance transform]).
+            features [+ mask/distance transform]), or the same map
+            pre-flattened to (B, H*W, C). Samplers flatten ONCE outside
+            their scan: the in-scan reshape of the loop-invariant map
+            costs a per-step (B, 224, 224, 387) layout copy (~86 us/step
+            in the r3 profile) that XLA does not hoist out of the while
+            body.
         radius: rasterization point radius in NDC.
         scale_factor: multiplies camera T (`projection_model.py:136-137`).
         splat: "multi" = exact PyTorch3D candidate set (default);
@@ -195,11 +200,17 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
         (B, N, C) per-point features.
     """
     b, n, _ = points.shape
-    _, h, w, c = feature_map.shape
-    assert h == w, "square images only (as in the reference)"
+    if feature_map.ndim == 3:
+        _, hw, c = feature_map.shape
+        h = w = math.isqrt(hw)
+        assert h * w == hw, "pre-flattened map must be square"
+        flat = feature_map
+    else:
+        _, h, w, c = feature_map.shape
+        assert h == w, "square images only (as in the reference)"
+        flat = feature_map.reshape(b, h * w, c)
     if scale_factor != 1.0:
         camera = camera.scale_T(scale_factor)
-    flat = feature_map.reshape(b, h * w, c)
 
     if splat == "nearest":
         pixel_id, z, valid = project_points_to_pixels(points, camera, h,

@@ -272,22 +272,27 @@ class PC2Model:
         return local
 
     def _cast_cond_for_sampling(self, cond_map):
-        """Store the local conditioning map in the compute dtype ONCE
-        before a sampling scan. The map is loop-invariant, but XLA does
-        not hoist the bf16 convert out of the while body (a per-step
-        (B, 224, 224, 387) cast+relayout copy, profiled 0.115 ms/step);
-        the in-scan gather already runs in bf16 either way, so this is
-        measurement-equivalent. Global features stay f32 (they feed the
-        f32 network-input concat)."""
+        """Store the local conditioning map in the compute dtype AND
+        pre-flattened to (B, H*W, C) ONCE before a sampling scan. The map
+        is loop-invariant, but XLA hoists neither the bf16 convert (a
+        per-step (B, 224, 224, 387) cast+relayout copy, profiled
+        0.115 ms/step) nor the flat-gather reshape (an ~86 us/step layout
+        copy inside the while body) — `surface_projection` accepts the
+        flat form directly. Global features stay f32 (they feed the f32
+        network-input concat)."""
         dt = self.compute_dtype
-        if dt is None:
-            return cond_map
+
+        def prep(m):
+            if m.ndim == 4:
+                m = m.reshape(m.shape[0], -1, m.shape[-1])
+            return m if dt is None else m.astype(dt)
+
         if isinstance(cond_map, PrecontractedCond):
-            return cond_map                      # already stored in dt
+            return cond_map._replace(comb_map=prep(cond_map.comb_map))
         if isinstance(cond_map, Conditioning):
-            return Conditioning(cond_map.local_map.astype(dt),
+            return Conditioning(prep(cond_map.local_map),
                                 cond_map.global_feats)
-        return cond_map.astype(dt)
+        return prep(cond_map)
 
     # ------------------------------------------------------ precontraction
     def maybe_precontract(self, params, cond_map):
@@ -316,6 +321,10 @@ class PC2Model:
             local_map, gfeats = cond_map.local_map, cond_map.global_feats
         else:
             local_map, gfeats = cond_map, None
+        if local_map.ndim == 3:                       # pre-flattened form
+            import math as _math
+            s = _math.isqrt(local_map.shape[1])
+            local_map = local_map.reshape(local_map.shape[0], s, s, -1)
         k = params["point_cloud_model"]["params"]["encoder"][
             "sa0_conv0"]["vconv0"]["kernel"]          # (3,3,3,Cin,Cout)
         cin, cout = k.shape[3], k.shape[4]
@@ -338,7 +347,8 @@ class PC2Model:
                               precision=jax.lax.Precision.HIGHEST
                               ).astype(store_dt)
             gfeats = gfeats.astype(store_dt)
-        return PrecontractedCond(comb, gtap, gfeats)
+        return self._cast_cond_for_sampling(
+            PrecontractedCond(comb, gtap, gfeats))
 
     def _precontracted_input(self, x_t, camera, pre: PrecontractedCond):
         """-> (x_in (B,N,3+L[+G]), pre_tap (B,N,27*Cout0)): one combined

@@ -248,3 +248,36 @@ def test_zbuf_runmin_bitexact_with_scatter_min(monkeypatch):
         new = np.asarray(surface_projection(pts, cam, fmap, radius=radius))
         monkeypatch.delenv("BDM_ZBUF")
         np.testing.assert_array_equal(new, ref)
+
+
+def test_surface_projection_accepts_preflattened_map():
+    """Samplers flatten the loop-invariant map to (B, H*W, C) once outside
+    their scan (the in-scan reshape costs a per-step layout copy); the flat
+    form must be numerically identical to the 4-D form."""
+    s = 16
+    rng = np.random.default_rng(7)
+    cam = identity_camera()
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 64, 3)).astype(np.float32))
+    fmap = jnp.asarray(rng.standard_normal((1, s, s, 5)).astype(np.float32))
+    for splat in ("multi", "nearest"):
+        ref = np.asarray(surface_projection(pts, cam, fmap, radius=0.1,
+                                            splat=splat))
+        flat = np.asarray(surface_projection(
+            pts, cam, fmap.reshape(1, s * s, 5), radius=0.1, splat=splat))
+        np.testing.assert_array_equal(ref, flat)
+
+
+def test_cast_cond_for_sampling_preflattens():
+    """PC2Model prepares the conditioning map for a sampling scan by
+    flattening (and casting under mixed precision) exactly once."""
+    from bdm_tpu.samplers.pc2 import PC2Model, ProjectionConfig
+
+    pc2 = PC2Model(ProjectionConfig(
+        image_size=32, image_feature_model="identity",
+        use_local_features=False, mixed_precision="bf16"))
+    m = jnp.ones((2, 32, 32, 3), jnp.float32)
+    out = pc2._cast_cond_for_sampling(m)
+    assert out.shape == (2, 32 * 32, 3) and out.dtype == jnp.bfloat16
+    # idempotent: preparing an already-prepared map is a no-op
+    out2 = pc2._cast_cond_for_sampling(out)
+    assert out2.shape == out.shape and out2.dtype == out.dtype
