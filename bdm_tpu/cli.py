@@ -21,13 +21,11 @@ def setup_compile_cache() -> None:
     runs load in seconds). The threshold is 0 so the hundreds of tiny
     host-level executables (eager divides, broadcasts, ...) are cached
     too — at ~0.4 s each they dominated the bench warmup. Override the
-    directory with BDM_COMPILE_CACHE_DIR; disable with =0."""
-    d = os.environ.get("BDM_COMPILE_CACHE_DIR", "/tmp/bdm_tpu_xla_cache")
-    if d == "0":
-        return
-    jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    directory with BDM_COMPILE_CACHE_DIR; disable with =0. Concurrent
+    processes are redirected to a private per-PID namespace (see
+    utils/compile_cache.py)."""
+    from bdm_tpu.utils.compile_cache import setup_compile_cache as _setup
+    _setup(min_compile_secs=0.0)
 
 
 def projection_config(cfg: ProjectConfig) -> ProjectionConfig:

@@ -27,6 +27,14 @@ import jax.numpy as jnp
 from bdm_tpu.samplers.blending import blend_point_clouds
 from bdm_tpu.samplers.pc2 import PC2Model
 from bdm_tpu.samplers.pvd import PVDModel
+from bdm_tpu.utils.compile_cache import no_persistent_cache
+
+# Every compile below runs under no_persistent_cache(): the S-duplicated
+# executables are the largest programs in the package and XLA:CPU's
+# executable serializer segfaulted deterministically writing the merging
+# one to the persistent cache mid-suite (jax 0.9.0
+# compilation_cache.py:265 executable.serialize()). The guard is a no-op
+# on TPU, where these executables cache normally.
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -109,12 +117,13 @@ def _window_scan_multi(pc2: PC2Model, params, xs, cameras, cond_maps,
             f"{scheduler.step_ratio}|S{len(xs)}")
     for i in range(0, n_steps, chunk):
         ts = jnp.asarray(timesteps[i:i + chunk], dtype=jnp.int32)
-        xs = aot_call(
-            _jitted_window_scan_multi,
-            (pc2, scheduler_name, float(eta), scheduler.step_ratio),
-            (params, tuple(xs), tuple(cameras), tuple(cond_maps), ts,
-             keys[i:i + chunk]),
-            tag="pc2-window-multi", static_key=skey)
+        with no_persistent_cache():
+            xs = aot_call(
+                _jitted_window_scan_multi,
+                (pc2, scheduler_name, float(eta), scheduler.step_ratio),
+                (params, tuple(xs), tuple(cameras), tuple(cond_maps), ts,
+                 keys[i:i + chunk]),
+                tag="pc2-window-multi", static_key=skey)
     return list(xs)
 
 
@@ -194,13 +203,14 @@ def bdm_blending_multi(pc2: PC2Model, pc2_params, pvd: PVDModel,
             keys_p = jnp.stack([jax.random.split(k, steps) for k in kps],
                                axis=1)
             from bdm_tpu.utils.aot_cache import aot_call
-            out_r, out_p = aot_call(
-                _jitted_fused_rolls_multi, (pc2, pvd),
-                (pc2_params, pvd_params, tuple(xs), tuple(cameras),
-                 tuple(cond_maps), ts_recon, ts_prior, keys_r, keys_p),
-                tag="bdm-fused-rolls-multi",
-                static_key=(f"{pc2.aot_static_key()}&"
-                            f"{pvd.aot_static_key()}&S{s_count}"))
+            with no_persistent_cache():
+                out_r, out_p = aot_call(
+                    _jitted_fused_rolls_multi, (pc2, pvd),
+                    (pc2_params, pvd_params, tuple(xs), tuple(cameras),
+                     tuple(cond_maps), ts_recon, ts_prior, keys_r, keys_p),
+                    tag="bdm-fused-rolls-multi",
+                    static_key=(f"{pc2.aot_static_key()}&"
+                                f"{pvd.aot_static_key()}&S{s_count}"))
             xs = [blend_point_clouds(out_r[s], out_p[s], kmixes[s])
                   for s in range(s_count)]
     return xs
@@ -305,20 +315,22 @@ def bdm_merging_multi(merge_model, merge_params, pc2: PC2Model, pc2_params,
             keys_p = jnp.stack([jax.random.split(k, steps) for k in kps],
                                axis=1)
             from bdm_tpu.utils.aot_cache import aot_call
-            out_r, out_p = aot_call(
-                _jitted_fused_rolls_multi, (pc2, pvd),
-                (pc2_params, pvd_params, tuple(xs), tuple(cameras),
-                 tuple(cond_pc2), ts_recon, ts_prior, keys_r, keys_p),
-                tag="bdm-fused-rolls-multi",
-                static_key=(f"{pc2.aot_static_key()}&"
-                            f"{pvd.aot_static_key()}&S{s_count}"))
+            with no_persistent_cache():
+                out_r, out_p = aot_call(
+                    _jitted_fused_rolls_multi, (pc2, pvd),
+                    (pc2_params, pvd_params, tuple(xs), tuple(cameras),
+                     tuple(cond_pc2), ts_recon, ts_prior, keys_r, keys_p),
+                    tag="bdm-fused-rolls-multi",
+                    static_key=(f"{pc2.aot_static_key()}&"
+                                f"{pvd.aot_static_key()}&S{s_count}"))
             # recenter both branch outputs per stream (model.py:510-570)
             priors = [p - p.mean(axis=1, keepdims=True) for p in out_p]
             recons = [r - r.mean(axis=1, keepdims=True) for r in out_r]
             t = jnp.asarray(milestones[i + 1] - roll_step, dtype=jnp.int32)
-            fused = _jitted_nstep_fuse_multi(
-                merge_model, scheduler, sched.step_ratio, merge_params,
-                tuple(priors), tuple(recons), tuple(cameras),
-                tuple(cond_raw), t, tuple(kfs))
+            with no_persistent_cache():
+                fused = _jitted_nstep_fuse_multi(
+                    merge_model, scheduler, sched.step_ratio, merge_params,
+                    tuple(priors), tuple(recons), tuple(cameras),
+                    tuple(cond_raw), t, tuple(kfs))
             xs = list(fused)
     return xs

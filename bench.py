@@ -188,7 +188,7 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
 
 
 def run_once(batch_size, points, repeats, quick, precision,
-             precontract=False, streams=1):
+             precontract=False, streams=1, sampler="blending"):
     import jax
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
@@ -197,17 +197,18 @@ def run_once(batch_size, points, repeats, quick, precision,
         jax.config.update("jax_platforms", plat)
     # persistent compile cache: the ~5 big window-scan executables cost
     # ~10 min each to compile cold through the remote compile helper;
-    # cached reruns skip that entirely
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("BDM_COMPILE_CACHE_DIR",
-                                     "/tmp/bdm_tpu_xla_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # cached reruns skip that entirely. flock-guarded: a concurrent jax
+    # process is redirected to a per-PID namespace (compile_cache.py).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bdm_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache(min_compile_secs=0.0)
     jax.config.update("jax_log_compiles", True)  # per-executable timings
     from bdm_tpu.samplers import PC2Model, ProjectionConfig, PVDModel, \
         bdm_blending
+    from bdm_tpu.samplers.merging import bdm_merging
     from __graft_entry__ import _synthetic_batch
 
+    blocks = {}
     if quick:
         from tests.test_models import TINY_FP, TINY_SA
         cfg = ProjectionConfig(image_size=16,
@@ -216,9 +217,9 @@ def run_once(batch_size, points, repeats, quick, precision,
                                point_cloud_model_embed_dim=8,
                                mixed_precision=precision,
                                precontract=precontract)
-        pc2 = PC2Model(cfg, sa_blocks=TINY_SA, fp_blocks=TINY_FP)
-        pvd = PVDModel(embed_dim=8, sa_blocks=TINY_SA, fp_blocks=TINY_FP,
-                       mixed_precision=precision)
+        blocks = {"sa_blocks": TINY_SA, "fp_blocks": TINY_FP}
+        pc2 = PC2Model(cfg, **blocks)
+        pvd = PVDModel(embed_dim=8, mixed_precision=precision, **blocks)
         points, milestones, roll, steps = 64, [8, 6, 2, 0], 2, 8
     else:
         kernel_self_check()
@@ -229,9 +230,14 @@ def run_once(batch_size, points, repeats, quick, precision,
 
     key = jax.random.PRNGKey(0)
     log(f"init params (batch={batch_size}, points={points}, "
-        f"precision={precision})...")
+        f"precision={precision}, sampler={sampler})...")
     pc2_params = pc2.init_params(key, num_points=1024)
     pvd_params = pvd.init_params(key, num_points=1024)
+    if sampler == "merging":
+        from bdm_tpu.samplers.merging import BDMMergingModel
+        merge_model = BDMMergingModel(pc2=pc2, **blocks)
+        merge_params = merge_model.init_params(jax.random.PRNGKey(3),
+                                               num_points=1024)
 
     rng = np.random.default_rng(0)
     batch = _synthetic_batch(batch_size, points, pc2.cfg.image_size, rng)
@@ -243,6 +249,8 @@ def run_once(batch_size, points, repeats, quick, precision,
     if streams > 1:
         # S independent streams interleaved in one program per window —
         # amortizes the serial small-op tail (samplers/multistream.py)
+        assert sampler == "blending", \
+            "--streams>1 is only wired for the blending sampler"
         import jax.numpy as jnp
         from bdm_tpu.samplers import bdm_blending_multi
         batches = [batch] + [
@@ -257,6 +265,13 @@ def run_once(batch_size, points, repeats, quick, precision,
                 milestones=milestones, roll_step=roll, scheduler="ddpm",
                 num_inference_steps=steps)
             return jnp.concatenate(outs, axis=0)
+    elif sampler == "merging":
+        def run(k):
+            return bdm_merging(merge_model, merge_params, pc2, pc2_params,
+                               pvd, pvd_params, batch, k,
+                               num_points=points, milestones=milestones,
+                               roll_step=roll, scheduler="ddpm",
+                               num_inference_steps=steps)
     else:
         def run(k):
             return bdm_blending(pc2, pc2_params, pvd, pvd_params, batch, k,
@@ -279,8 +294,10 @@ def run_once(batch_size, points, repeats, quick, precision,
         times.append(time.perf_counter() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
 
-    if not quick:
-        # ~1160 denoise evals per run (1000 main-path + coupled rolls)
+    if not quick and sampler == "blending":
+        # ~1160 denoise evals per run (1000 main-path + coupled rolls);
+        # the FLOP constant is the pc2 denoise graph, so the estimate is
+        # blending-only (merging adds fusion-network forwards)
         n_evals = (milestones[0] - milestones[-1]) + \
             2 * roll * (len(milestones) - 3)
         estimate_mfu(pc2, pc2_params, batch, points,
@@ -296,6 +313,11 @@ def make_parser():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--precision", default="bf16",
                         choices=["bf16", "no"])
+    parser.add_argument("--sampler", default="blending",
+                        choices=["blending", "merging"],
+                        help="which coupled sampler to measure (BDM-B is "
+                             "the headline; BDM-M adds the learned fusion "
+                             "network forward at interior milestones)")
     parser.add_argument("--streams", type=int, default=1,
                         help="independent sampling streams interleaved in "
                              "one program (multi-stream tail amortization)")
@@ -314,11 +336,13 @@ def make_parser():
     return parser
 
 
-def result_json(clouds_per_sec, points, steps, batch, streams=1):
+def result_json(clouds_per_sec, points, steps, batch, streams=1,
+                sampler="blending"):
     sdesc = f"batch {batch}x{streams} streams" if streams > 1 else \
         f"batch {batch}"
+    name = "BDM-Blending" if sampler == "blending" else "BDM-Merging"
     return {
-        "metric": "BDM-Blending sampling throughput "
+        "metric": f"{name} sampling throughput "
                   f"({points} pts, DDPM {steps} steps, {sdesc}, "
                   "1 chip)",
         "value": round(clouds_per_sec, 4),
@@ -358,14 +382,15 @@ def worker_main(args):
         _maybe_inject_failure()
         clouds_per_sec, points, steps = run_once(
             args.batch, args.points, args.repeats, args.quick,
-            args.precision, args.precontract, args.streams)
+            args.precision, args.precontract, args.streams, args.sampler)
     except BaseException as e:  # noqa: BLE001 — classify everything
         kind = classify_failure(e)
         log(f"bench worker failed at batch={args.batch} ({kind}): "
             f"{type(e).__name__}: {e}")
         return EXIT_RETRYABLE if kind == "retryable" else EXIT_UNRETRYABLE
     print(json.dumps(result_json(clouds_per_sec, points, steps,
-                                 args.batch, args.streams)), flush=True)
+                                 args.batch, args.streams, args.sampler)),
+          flush=True)
     return 0
 
 
@@ -382,7 +407,7 @@ class Supervisor:
         # fallback result if nothing better is ever produced
         self.failure = result_json(0.0, args.points,
                                    8 if args.quick else 1000, args.batch,
-                                   args.streams)
+                                   args.streams, args.sampler)
         atexit.register(self.emit, None)
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, self._on_signal)
@@ -414,6 +439,7 @@ class Supervisor:
                "--batch", str(batch), "--points", str(self.args.points),
                "--repeats", str(self.args.repeats),
                "--streams", str(self.args.streams),
+               "--sampler", self.args.sampler,
                "--precision", self.args.precision]
         if self.args.quick:
             cmd.append("--quick")

@@ -26,13 +26,15 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA compiles dominate test runtime on small
-# hosts; cache them across pytest invocations. Env-overridable so a pytest
-# run can use a PRIVATE cache dir while a TPU bench owns the default one —
-# two jax processes sharing this directory have crashed with SIGSEGV/
-# SIGABRT read/write races (round-3 runbook note 6b).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("BDM_XLA_CACHE", "/tmp/bdm_tpu_xla_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# hosts; cache them across pytest invocations. setup_compile_cache flock-
+# guards the shared directory — if another live jax process (a TPU bench,
+# a second pytest) owns it, this run is transparently redirected to a
+# private per-PID namespace, so concurrent invocations cannot corrupt each
+# other (two processes sharing the dir crashed with SIGSEGV/SIGABRT races,
+# round-3 runbook 6b). Override the dir with BDM_XLA_CACHE; disable with =0.
+from bdm_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(min_compile_secs=1.0)
 
 
 @pytest.fixture

@@ -24,10 +24,9 @@ run_variant () {
   env "$@" BDM_PROF_DIR="$dir" timeout 2400 python - <<PY
 import os, sys, time
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, "/root/repo")
+from bdm_tpu.utils.compile_cache import setup_compile_cache
+setup_compile_cache(min_compile_secs=0.0)
 from bdm_tpu.samplers import PC2Model, ProjectionConfig
 from __graft_entry__ import _synthetic_batch
 pc2 = PC2Model(ProjectionConfig(mixed_precision="bf16"))
@@ -63,10 +62,9 @@ run_multistream () {
   BDM_MS_STREAMS="$s" BDM_PROF_DIR="$dir" timeout 3000 python - <<PY
 import os, sys, time
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/bdm_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, "/root/repo")
+from bdm_tpu.utils.compile_cache import setup_compile_cache
+setup_compile_cache(min_compile_secs=0.0)
 from bdm_tpu.samplers import PC2Model, ProjectionConfig
 from bdm_tpu.samplers.multistream import _window_scan_multi
 from __graft_entry__ import _synthetic_batch
