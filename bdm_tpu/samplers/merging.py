@@ -41,7 +41,7 @@ class BDMMergingModel:
             fusion_kwargs["fp_blocks"] = fp_blocks
         self.fusion = PVCNNFuse(
             out_channels=self.pc2.out_channels,
-            embed_dim=cfg.point_cloud_model_embed_dim,
+            embed_dim=self.cfg.point_cloud_model_embed_dim,
             extra_feature_channels=self.pc2.in_channels - 3,
             dtype=self.pc2.compute_dtype,
             **fusion_kwargs)
