@@ -81,8 +81,12 @@ def _bq_rank_kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref,
     b, m_tile = cx_ref.shape
     nk = c3_ref.shape[0]
     n = nk * 128
-    lanes = jax.lax.broadcasted_iota(jnp.float32, (m_tile, 128), 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.float32, (nk, m_tile), 0)
+    # int32 iota + cast: tpu.iota only produces integer vectors (a float
+    # broadcasted_iota fails Mosaic verification on real hardware)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (m_tile, 128), 1).astype(jnp.float32)
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (nk, m_tile), 0).astype(jnp.float32)
 
     def batch_body(bb, _):
         cx = cx_ref[pl.ds(bb, 1), :].reshape(m_tile, 1)
