@@ -52,18 +52,12 @@ class RunConfig:
 
 @dataclass
 class AuxRunConfig:
-    """Mirrors `AutomaticalPriorConfig` (`structured.py:58-64`).
-
-    `streams` is a bdm_tpu extension (no reference counterpart): S > 1
-    advances S loader batches concurrently in one program per window
-    (samplers/multistream.py) — amortizes the latency-bound small-op
-    tail on TPU; per-stream results are bit-identical to streams=1."""
+    """Mirrors `AutomaticalPriorConfig` (`structured.py:58-64`)."""
     roll_step: int = 16
     milestones: Optional[List[int]] = None
     prior_ckpt: Optional[str] = None
     recon_ckpt: Optional[str] = None
     fusion_ckpt: Optional[str] = None
-    streams: int = 1
 
 
 @dataclass

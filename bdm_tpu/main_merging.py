@@ -111,37 +111,14 @@ def sample_bdm_merging(cfg: ProjectConfig) -> None:
 
     key = jax.random.PRNGKey(cfg.run.manual_seed or cfg.run.seed)
     from bdm_tpu.data.loader import model_batch as _mb
-    streams = max(1, int(cfg.aux_run.streams))
-    if streams > 1 and cfg.run.diffusion_scheduler != "ddpm":
-        print("aux_run.streams > 1 supports ddpm only; running sequential")
-        streams = 1
-    pending = []
     for bi, batch in enumerate(loader_val):
         if (cfg.run.num_sample_batches is not None
                 and bi >= cfg.run.num_sample_batches):
             break
         key, sub = jax.random.split(key)
-        pending.append((bi, batch, sub))
-    for gi in range(0, len(pending), streams):
-        chunk = pending[gi:gi + streams]
-        if len(chunk) == 1:
-            bi, batch, sub = chunk[0]
-            preds = [run(merge_params, pc2_params, pvd_params, _mb(batch),
-                         sub)]
-        else:
-            from bdm_tpu.samplers import bdm_merging_multi
-            preds = bdm_merging_multi(
-                merge, merge_params, pc2, pc2_params, pvd, pvd_params,
-                [_mb(b) for _, b, _ in chunk],
-                [s for _, _, s in chunk],
-                num_points=cfg.dataset.max_points, milestones=milestones,
-                roll_step=cfg.aux_run.roll_step,
-                scheduler=cfg.run.diffusion_scheduler,
-                num_inference_steps=cfg.run.num_inference_steps)
-        for (bi, batch, _), pred in zip(chunk, preds):
-            save_batch_outputs(pred_dir, gt_dir, batch, pred)
-            print(f"merged batch {bi}: {pred.shape[0]} clouds -> "
-                  f"{pred_dir}")
+        pred = run(merge_params, pc2_params, pvd_params, _mb(batch), sub)
+        save_batch_outputs(pred_dir, gt_dir, batch, pred)
+        print(f"merged batch {bi}: {pred.shape[0]} clouds -> {pred_dir}")
     print(f"Samples in {pred_dir}; ground truth in {gt_dir}")
 
 

@@ -10,16 +10,12 @@ from bdm_tpu.samplers.pc2 import PC2Model, ProjectionConfig
 from bdm_tpu.samplers.pvd import PVDModel
 from bdm_tpu.samplers.blending import bdm_blending
 from bdm_tpu.samplers.merging import BDMMergingModel, bdm_merging
-from bdm_tpu.samplers.multistream import bdm_blending_multi, \
-    bdm_merging_multi
 
 __all__ = [
     "PC2Model",
     "ProjectionConfig",
     "PVDModel",
     "bdm_blending",
-    "bdm_blending_multi",
-    "bdm_merging_multi",
     "BDMMergingModel",
     "bdm_merging",
 ]

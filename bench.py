@@ -188,7 +188,7 @@ def estimate_mfu(pc2, pc2_params, batch, points, seconds_per_step):
 
 
 def run_once(batch_size, points, repeats, quick, precision,
-             precontract=False, streams=1, sampler="blending"):
+             precontract=False, sampler="blending"):
     import jax
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
@@ -246,26 +246,7 @@ def run_once(batch_size, points, repeats, quick, precision,
     # Python loop over jitted scans cached by window LENGTH (3 distinct
     # lengths in the canonical schedule), so warmup compiles ~5 programs
     # instead of one giant 14-segment graph.
-    if streams > 1:
-        # S independent streams interleaved in one program per window —
-        # amortizes the serial small-op tail (samplers/multistream.py)
-        assert sampler == "blending", \
-            "--streams>1 is only wired for the blending sampler"
-        import jax.numpy as jnp
-        from bdm_tpu.samplers import bdm_blending_multi
-        batches = [batch] + [
-            _synthetic_batch(batch_size, points, pc2.cfg.image_size,
-                             np.random.default_rng(s))
-            for s in range(1, streams)]
-
-        def run(k):
-            outs = bdm_blending_multi(
-                pc2, pc2_params, pvd, pvd_params, batches,
-                list(jax.random.split(k, streams)), num_points=points,
-                milestones=milestones, roll_step=roll, scheduler="ddpm",
-                num_inference_steps=steps)
-            return jnp.concatenate(outs, axis=0)
-    elif sampler == "merging":
+    if sampler == "merging":
         def run(k):
             return bdm_merging(merge_model, merge_params, pc2, pc2_params,
                                pvd, pvd_params, batch, k,
@@ -301,8 +282,8 @@ def run_once(batch_size, points, repeats, quick, precision,
         n_evals = (milestones[0] - milestones[-1]) + \
             2 * roll * (len(milestones) - 3)
         estimate_mfu(pc2, pc2_params, batch, points,
-                     min(times) / n_evals / streams)
-    return batch_size * streams / min(times), points, steps
+                     min(times) / n_evals)
+    return batch_size / min(times), points, steps
 
 
 def make_parser():
@@ -318,9 +299,6 @@ def make_parser():
                         help="which coupled sampler to measure (BDM-B is "
                              "the headline; BDM-M adds the learned fusion "
                              "network forward at interior milestones)")
-    parser.add_argument("--streams", type=int, default=1,
-                        help="independent sampling streams interleaved in "
-                             "one program (multi-stream tail amortization)")
     parser.add_argument("--precontract", action="store_true",
                         help="tap-precontraction path (lost the r3 A/B; "
                              "kept for chips where the balance may flip)")
@@ -336,10 +314,8 @@ def make_parser():
     return parser
 
 
-def result_json(clouds_per_sec, points, steps, batch, streams=1,
-                sampler="blending"):
-    sdesc = f"batch {batch}x{streams} streams" if streams > 1 else \
-        f"batch {batch}"
+def result_json(clouds_per_sec, points, steps, batch, sampler="blending"):
+    sdesc = f"batch {batch}"
     name = "BDM-Blending" if sampler == "blending" else "BDM-Merging"
     return {
         "metric": f"{name} sampling throughput "
@@ -382,14 +358,14 @@ def worker_main(args):
         _maybe_inject_failure()
         clouds_per_sec, points, steps = run_once(
             args.batch, args.points, args.repeats, args.quick,
-            args.precision, args.precontract, args.streams, args.sampler)
+            args.precision, args.precontract, args.sampler)
     except BaseException as e:  # noqa: BLE001 — classify everything
         kind = classify_failure(e)
         log(f"bench worker failed at batch={args.batch} ({kind}): "
             f"{type(e).__name__}: {e}")
         return EXIT_RETRYABLE if kind == "retryable" else EXIT_UNRETRYABLE
     print(json.dumps(result_json(clouds_per_sec, points, steps,
-                                 args.batch, args.streams, args.sampler)),
+                                 args.batch, args.sampler)),
           flush=True)
     return 0
 
@@ -407,7 +383,7 @@ class Supervisor:
         # fallback result if nothing better is ever produced
         self.failure = result_json(0.0, args.points,
                                    8 if args.quick else 1000, args.batch,
-                                   args.streams, args.sampler)
+                                   args.sampler)
         atexit.register(self.emit, None)
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, self._on_signal)
@@ -438,7 +414,6 @@ class Supervisor:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--batch", str(batch), "--points", str(self.args.points),
                "--repeats", str(self.args.repeats),
-               "--streams", str(self.args.streams),
                "--sampler", self.args.sampler,
                "--precision", self.args.precision]
         if self.args.quick:

@@ -72,25 +72,6 @@ def test_cli_blending_e2e(tmp_path, tiny_builders):
     assert len(plys) == 2
 
 
-def test_cli_blending_streams_matches_sequential(tmp_path, tiny_builders):
-    """aux_run.streams=2 must produce byte-identical .ply outputs to the
-    sequential run (same per-batch keys, different execution schedule)."""
-    outs = {}
-    for name, streams in (("seq", 1), ("ms", 2)):
-        save = str(tmp_path / name)
-        mb.main(BASE_ARGS + [
-            "run.job=sample_bdm_blending", f"run.save_dir={save}",
-            f"run.name={name}", f"aux_run.streams={streams}",
-            "run.num_sample_batches=2",
-        ])
-        plys = sorted(glob.glob(os.path.join(
-            save, name, "sample_bdm_blending", "pred", "*", "*.ply")))
-        assert len(plys) == 4
-        outs[name] = {os.path.basename(p): open(p, "rb").read()
-                      for p in plys}
-    assert outs["seq"] == outs["ms"]
-
-
 def test_cli_merging_train_and_sample(tmp_path, tiny_builders):
     save = str(tmp_path / "out")
     mm.main(BASE_ARGS + [
