@@ -39,69 +39,6 @@ from bdm_tpu.conditioning.cameras import PerspectiveCamera
 _INF = jnp.float32(3.4e38)
 
 
-def _zbuf_from_runmin(zc: jnp.ndarray, y_base: jnp.ndarray,
-                      x_base: jnp.ndarray, valid: jnp.ndarray,
-                      s: int) -> jnp.ndarray:
-    """(B, h*w+1) z-buffer without a 4N-row scatter-min.
-
-    The XLA scatter-min serializes at ~7.8 ns/row — 4N candidate rows cost
-    ~1.03 ms/step at the production shapes. But all 4 candidates of a point
-    share one 2x2 window BASE pixel, so: group points by base (ONE sort of
-    N keys), take per-run minima of the 4 masked-z channels with a
-    segmented suffix-scan (log N vectorized passes, no scatter), scatter
-    one 5-channel row per RUN (values + occupancy; unique ids, so a plain
-    add — N rows, 4x fewer), and fold the four (S+1)^2 corner images into
-    the pixel z-buffer with 3 shifted elementwise mins. Pure f32 min over
-    the same sets as the scatter-min: bit-exact.
-    """
-    b, n, kk = zc.shape
-    assert kk == 4
-    sp1 = s + 1
-    dump = sp1 * sp1
-    any_valid = jnp.any(valid, axis=-1)
-    # a base with any valid candidate is provably in [-1, s-1]; clipping
-    # only moves bases of all-invalid points (routed to the dump slot)
-    yb = jnp.clip(y_base, -1, s - 1)
-    xb = jnp.clip(x_base, -1, s - 1)
-    bk = jnp.where(any_valid, (yb + 1) * sp1 + (xb + 1),
-                   dump).astype(jnp.int32)
-
-    order = jnp.argsort(bk, axis=1).astype(jnp.int32)
-    bks = jnp.take_along_axis(bk, order, axis=1)
-    z4 = jnp.take_along_axis(zc, order[..., None], axis=1)   # (B, N, 4)
-
-    # segmented suffix-min: after the reverse scan, each run's FIRST row
-    # holds the min over the whole run. The id-equality combine is
-    # associative on sorted ids (adjacent spans are contiguous, so a
-    # non-contiguous id repeat can never appear inside a span). In
-    # reverse mode associative_scan feeds the HIGHER-index aggregate as
-    # the first argument, so the combine keeps the second's id and
-    # extends its leading-run min when the spans share that id.
-    def comb(a, c):
-        ai, av = a
-        ci, cv = c
-        return (ci, jnp.where((ai == ci)[..., None],
-                              jnp.minimum(av, cv), cv))
-
-    _, suf = jax.lax.associative_scan(comb, (bks, z4), reverse=True,
-                                      axis=1)
-    start = jnp.concatenate(
-        [jnp.ones((b, 1), bool), bks[:, 1:] != bks[:, :-1]], axis=1)
-    payload = jnp.concatenate(
-        [jnp.where(start[..., None], suf, 0.0),
-         start.astype(zc.dtype)[..., None]], axis=-1)        # (B, N, 5)
-    m = jnp.zeros((b, dump + 1, 5), zc.dtype)
-    m = m.at[jnp.arange(b)[:, None], bks].add(payload)[:, :dump]
-    mk = jnp.where(m[..., 4:5] > 0, m[..., :4],
-                   _INF).reshape(b, sp1, sp1, 4)
-    # pixel (y, x) collects corner k = (dy, dx) of base (y-dy, x-dx)
-    zb = jnp.minimum(
-        jnp.minimum(mk[:, 1:, 1:, 0], mk[:, 1:, :s, 1]),
-        jnp.minimum(mk[:, :s, 1:, 2], mk[:, :s, :s, 3]))     # (B, s, s)
-    return jnp.concatenate(
-        [zb.reshape(b, s * s), jnp.full((b, 1), _INF, zc.dtype)], axis=1)
-
-
 def project_points_to_pixels(points: jnp.ndarray, camera: PerspectiveCamera,
                              image_size: int, radius: float = 0.0075):
     """Project points; return (pixel_id, z, valid).
@@ -229,11 +166,12 @@ def surface_projection(points: jnp.ndarray, camera: PerspectiveCamera,
         points, camera, h, radius)
     kk = pid.shape[-1]
     zc = jnp.where(valid, z[..., None], _INF)                # (B, N, KK)
-    if kk == 4 and os.environ.get("BDM_ZBUF", "scatter") == "runmin":
-        zbuf = _zbuf_from_runmin(zc, y_base, x_base, valid, h)
-    else:
-        zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
-        zbuf = zbuf.at[jnp.arange(b)[:, None, None], pid].min(zc)
+    # 4N-row scatter-min. A sorted run-min variant (N scatter rows via
+    # segmented suffix scans) was built and measured in r5: 29.8 vs
+    # 28.6 ms/step — the log-N scan passes cost more than the 3N extra
+    # scatter rows. Deleted.
+    zbuf = jnp.full((b, h * w + 1), _INF, dtype=z.dtype)
+    zbuf = zbuf.at[jnp.arange(b)[:, None, None], pid].min(zc)
     if kk == 4:
         # candidate pixels form a 2x2 window at (y_base, x_base): build a
         # 4-channel window image (3 shifted copies of the zbuf — one cheap

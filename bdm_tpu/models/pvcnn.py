@@ -45,12 +45,9 @@ from bdm_tpu.models.layers import (
 def _barrier(x):
     """Fusion break on the voxel-branch conv boundaries (see the call
     sites: XLA's conv+GN layout mega-fusion ran ~3.5x slower than the
-    split kernels). BDM_BARRIERS=0 removes them for A/B — with every
-    production conv now a Pallas custom call the layout disease may be
-    gone, and the barriers might only be blocking useful elementwise
-    fusion."""
-    if os.environ.get("BDM_BARRIERS", "1") == "0":
-        return x
+    split kernels). Removing them re-measured a LOSS (r5 TPU A/B:
+    30.2 vs 28.6 ms/step) even with every production conv a Pallas
+    custom call — the barriers stay."""
     return jax.lax.optimization_barrier(x)
 
 
@@ -198,8 +195,6 @@ class VoxConv(nn.Module):
                  xt: Optional[jnp.ndarray] = None,
                  vox_ctx=None, resolution: Optional[int] = None,
                  prepadded: bool = False,
-                 prenorm: Optional[tuple] = None,
-                 emit_stats: bool = False,
                  force_xla: bool = False) -> jnp.ndarray:
         cin = x.shape[-1] if x is not None else self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -217,13 +212,6 @@ class VoxConv(nn.Module):
                 return conv3d_ms_prepadded(x, kernel, bias, r)
             from bdm_tpu.ops.pallas.conv3d import conv3d_mm_prepadded
             return conv3d_mm_prepadded(x, kernel, bias, r)
-        if prenorm is not None:
-            # fused [GN-normalize -> swish -> conv] (inference):
-            # a = gamma*rsqrt(var+eps), c = beta - mean*a per (B, Cin)
-            from bdm_tpu.ops.pallas.conv3d import conv3d_ms_prenorm_pallas
-            a_aff, c_aff = prenorm
-            return conv3d_ms_prenorm_pallas(x, kernel, bias, a_aff,
-                                            c_aff, x.shape[1])
         if pre_tap is not None:
             from bdm_tpu.ops.conv_wide import tap_shift_sum
             from bdm_tpu.ops.voxelize import scatter_mean_contributions
@@ -256,10 +244,6 @@ class VoxConv(nn.Module):
             if impl == "ms":
                 # multi-slice kernel: beats per-slab by ~20% at R=32
                 # small C (TPU A/B, tools/experiment_conv_ms.py)
-                if emit_stats:
-                    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
-                    return conv3d_ms_pallas(x, kernel, bias, r, None,
-                                            None, "stats")
                 from bdm_tpu.ops.pallas.conv3d import conv3d_ms
                 return conv3d_ms(x, kernel, bias, r)
             from bdm_tpu.ops.pallas.conv3d import conv3d
@@ -281,21 +265,6 @@ class VoxConv(nn.Module):
             x.astype(dt), kernel.astype(dt), (1, 1, 1), "SAME",
             dimension_numbers=dn)
         return y + bias.astype(dt)
-
-
-class GNAffineParams(nn.Module):
-    """Parameter-only stand-in for nn.GroupNorm: same param names
-    ("scale", "bias") and shapes ((C,)), so the checkpoint tree is
-    identical whether the fused or the unfused GN path traced."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones,
-                           (self.features,)),
-                self.param("bias", nn.initializers.zeros,
-                           (self.features,)))
 
 
 class PVConv(nn.Module):
@@ -378,21 +347,7 @@ class PVConv(nn.Module):
                         name="vconv0")(gp, prepadded=True,
                                        resolution=self.resolution)
         else:
-            from bdm_tpu.ops.pallas.conv3d import _ms_group_size
-            # decide the fused-GN route BEFORE vconv0 so it can emit its
-            # own GroupNorm partial statistics (saves the separate
-            # convert_reduce stats passes over the grid)
-            fuse_gn = (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
-                       and on_tpu and deterministic
-                       and self.out_channels % 8 == 0
-                       and self.out_channels <= 256
-                       and bool(_ms_group_size(self.resolution,
-                                               self.out_channels,
-                                               self.out_channels)))
-            cin0 = features.shape[-1]
-            emit = (fuse_gn and cin0 <= 256
-                    and os.environ.get("BDM_CONV_IMPL", "ms") == "ms")
-            if (on_tpu and not emit and self.resolution % 2 == 0
+            if (on_tpu and self.resolution % 2 == 0
                     and os.environ.get("BDM_CONV_IMPL", "ms") == "ms"):
                 # narrow branches ride the same fused scatter ->
                 # D-padded bf16 conv layout as stage-0: one Pallas
@@ -417,54 +372,17 @@ class PVConv(nn.Module):
                 # boundaries reproduce the isolated compilation
                 g = _barrier(g)
                 g = VoxConv(self.out_channels, dtype=self.dtype,
-                            name="vconv0")(g, emit_stats=emit)
-        ch = (g[0] if isinstance(g, tuple) else g).shape[-1]
-        from bdm_tpu.ops.pallas.conv3d import _ms_group_size
-        if (os.environ.get("BDM_PRENORM_FUSE", "0") == "1"
-                and on_tpu and deterministic and ch % 8 == 0
-                and ch <= 256
-                and _ms_group_size(self.resolution, ch,
-                                   self.out_channels)):
-            # fused [GN0 -> swish -> vconv1] (inference): normalize+swish
-            # inside the conv's scratch assembly (halo redundancy only
-            # (DS+2)/DS vs the 3x of the per-slab prenorm that lost its
-            # A/B); stats come from vconv0's emitted partials when
-            # available, else one channel-first two-output grid reduce.
-            # Dropout is identity here (deterministic); params alias the
-            # nn.GroupNorm tree. Prenorm WITHOUT emitted stats measured
-            # a wash (30.0 vs 30.1 ms/step) — default off.
-            scale, beta = GNAffineParams(ch, name="vnorm0")()
-            if isinstance(g, tuple):
-                g, partials = g
-                s = partials.sum(axis=1)                   # (B, 2, C)
-                s1, s2 = s[:, 0], s[:, 1]
-            else:
-                gf = g.astype(jnp.float32)
-                s1 = gf.sum(axis=(1, 2, 3))                # (B, C)
-                s2 = (gf * gf).sum(axis=(1, 2, 3))
-            cnt = float(np.prod(g.shape[1:4]) * (ch // 8))
-            mu_g = s1.reshape(-1, 8, ch // 8).sum(-1) / cnt
-            m2_g = s2.reshape(-1, 8, ch // 8).sum(-1) / cnt
-            var_g = jnp.maximum(m2_g - mu_g * mu_g, 0.0)
-            mu = jnp.repeat(mu_g, ch // 8, axis=1)
-            var = jnp.repeat(var_g, ch // 8, axis=1)
-            a_aff = jax.lax.rsqrt(var + 1e-5) * scale[None]
-            c_aff = beta[None] - mu * a_aff
-            g = _barrier(g)
-            g = VoxConv(self.out_channels, dtype=self.dtype,
-                        name="vconv1")(g, prenorm=(a_aff, c_aff))
-        else:
-            assert not isinstance(g, tuple)
-            g = _barrier(g)
-            g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
-                             name="vnorm0")(g)
-            g = swish(g)
-            g = nn.Dropout(self.dropout, name="vdrop")(
-                g, deterministic=deterministic)
-            g = to_vox_dtype(g)
-            g = _barrier(g)
-            g = VoxConv(self.out_channels, dtype=self.dtype,
-                        name="vconv1")(g, force_xla=sp)
+                            name="vconv0")(g)
+        g = _barrier(g)
+        g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                         name="vnorm0")(g)
+        g = swish(g)
+        g = nn.Dropout(self.dropout, name="vdrop")(
+            g, deterministic=deterministic)
+        g = to_vox_dtype(g)
+        g = _barrier(g)
+        g = VoxConv(self.out_channels, dtype=self.dtype,
+                    name="vconv1")(g, force_xla=sp)
         g = _barrier(g)
         g = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="vnorm1")(g)

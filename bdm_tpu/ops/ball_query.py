@@ -50,15 +50,9 @@ def ball_query(centers: jnp.ndarray, points: jnp.ndarray, radius: float,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and m % min(m, 128) == 0:
-        import os
-        if (os.environ.get("BDM_BQ", "minx") == "rank"
-                and n % 128 == 0 and n >= 1024):
-            # O(M*N) rank form (chunk cumsums + per-slot extraction) vs
-            # the default O(U*M*N) min-extraction; A/B pending on TPU.
-            # n >= 1024 keeps the (nk, nk) cumsum matmul at Mosaic-safe
-            # sublane sizes (nk >= 8); smaller stages are cheap anyway.
-            from bdm_tpu.ops.pallas.ball_query import ball_query_rank_pallas
-            return ball_query_rank_pallas(centers, points, radius, u)
+        # min-extraction kernel. An O(M*N) rank form (chunk cumsums on
+        # the MXU + per-slot extraction) was built and measured in r5:
+        # 10.5 ms/step vs 1.15 for this kernel — deleted.
         from bdm_tpu.ops.pallas.ball_query import ball_query_pallas
         return ball_query_pallas(centers, points, radius, u)
 

@@ -97,14 +97,19 @@ def three_nn_interpolate(points: jnp.ndarray, centers: jnp.ndarray,
     m = centers_features.shape[1]
     c = centers_features.shape[-1]
     import os
-    if (os.environ.get("BDM_INTERP", "gather") == "onehot"
+    impl = os.environ.get("BDM_INTERP")
+    use_onehot = (impl == "onehot"
+                  or (impl is None and jax.default_backend() == "tpu"))
+    if (use_onehot
             and centers_features.dtype == jnp.bfloat16
             and m >= 128 and n % min(n, 512) == 0):
         # one-hot weighted matmul on the MXU (ops/pallas/interp_mm.py):
         # the gather's 3N serialized starts (0.65 ms/step at the big FP
         # stage) become one resident-centers contraction per query tile.
         # bf16-only: the weights round once to bf16, the same rounding
-        # the devoxelize einsum takes under mixed precision.
+        # the devoxelize einsum takes under mixed precision. DEFAULT on
+        # TPU since the r5 A/B (27.7 vs 28.6 ms/step); BDM_INTERP=gather
+        # opts out.
         from bdm_tpu.ops.pallas.interp_mm import interp_mm
         return interp_mm(idx, w, centers_features)
     gathered = jnp.take_along_axis(

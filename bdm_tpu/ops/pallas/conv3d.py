@@ -145,103 +145,6 @@ def _conv3d_bwd(resolution, res, g):
 conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)
 
 
-# ------------------------------------------------- prenorm-fused variant
-
-def _conv_prenorm_kernel(w_ref, b_ref, a_ref, c_ref, lo_ref, mid_ref,
-                         hi_ref, out_ref, *, h, w, r):
-    """conv3d with a per-channel affine + swish applied to each input slab
-    as it is loaded: slab' = swish(slab * a + c). With
-    a = rsqrt(var+eps)*gamma and c = beta - mu*rsqrt(var+eps)*gamma this
-    fuses GroupNorm+swish into the next conv, skipping a full grid
-    read+write pass. The padded D-border slabs must stay ZERO (prenorm of
-    zero is swish(c) != 0), hence the program-id gate."""
-    hw = h * w
-    cin = mid_ref.shape[-1]
-    cout = out_ref.shape[-1]
-    out_dt = out_ref.dtype
-    d = pl.program_id(1)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
-    ys = rows // w
-    xs = rows % w
-    a = a_ref[0, 0, :].reshape(1, cin)
-    c = c_ref[0, 0, :].reshape(1, cin)
-
-    acc = jnp.zeros((hw, cout), jnp.float32)
-    for dz, src in enumerate((lo_ref, mid_ref, hi_ref)):
-        d_src = d + dz - 1
-        valid_z = (d_src >= 0) & (d_src <= r - 1)
-        y = src[0, 0].astype(jnp.float32) * a + c
-        slab = jnp.where(valid_z, (y * jax.nn.sigmoid(y)),
-                         0.0).astype(jnp.bfloat16)          # (HW, Cin)
-        cols = []
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                s = dy * w + dx
-                if s:
-                    k = s % hw
-                    shifted = jnp.concatenate([slab[k:], slab[:k]], axis=0)
-                else:
-                    shifted = slab
-                ok = ((ys + dy >= 0) & (ys + dy < h)
-                      & (xs + dx >= 0) & (xs + dx < w))
-                cols.append(jnp.where(ok, shifted, jnp.bfloat16(0)))
-        col = jnp.concatenate(cols, axis=1)                # (HW, 9*Cin)
-        acc = acc + jnp.dot(col, w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
-                            preferred_element_type=jnp.float32)
-    out_ref[0, 0] = (acc + b_ref[0, :]).astype(out_dt)
-
-
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def conv3d_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
-                          bias: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
-                          resolution: int,
-                          interpret: bool = False) -> jnp.ndarray:
-    """conv3d(swish(grid * a + c)) with per-(batch, channel) affine a/c —
-    the fused [GroupNorm -> swish -> Conv3d] step of PVConv's voxel
-    branch (`modules/pvconv.py:70-76`), inference path."""
-    b, r, _, _, cin = grid.shape
-    assert r == resolution
-    cout = weights.shape[-1]
-    hw = r * r
-    out_dt = grid.dtype
-
-    gp = jnp.pad(grid.reshape(b, r, hw, cin),
-                 ((0, 0), (1, 1), (0, 0), (0, 0)))
-    wm = weights.astype(jnp.bfloat16).reshape(27 * cin, cout)
-    bm = bias.astype(jnp.float32).reshape(1, cout)
-
-    def slice_spec(off):
-        return pl.BlockSpec((1, 1, hw, cin),
-                            lambda bi, d, _o=off: (bi, d + _o, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_conv_prenorm_kernel, h=r, w=r, r=r),
-        grid=(b, r),
-        in_specs=[
-            pl.BlockSpec((27 * cin, cout), lambda bi, d: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, d: (0, 0),
-                         memory_space=pltpu.VMEM),
-            # (B, 1, Cin): the block's trailing dims must equal the
-            # array's (Mosaic divisibility rule)
-            pl.BlockSpec((1, 1, cin), lambda bi, d: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cin), lambda bi, d: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            slice_spec(0), slice_spec(1), slice_spec(2),
-        ],
-        out_specs=pl.BlockSpec((1, 1, hw, cout),
-                               lambda bi, d: (bi, d, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
-        interpret=interpret,
-    )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
-      c.astype(jnp.float32).reshape(b, 1, cin), gp, gp, gp)
-    return out.reshape(b, r, r, r, cout)
-
-
 # ---------------------------------------------- whole-grid-per-batch form
 
 def _conv_wg_kernel(w_ref, b_ref, g_ref, out_ref, *, h, w, r):
@@ -332,59 +235,6 @@ def conv3d_wg_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
 
 
 # ------------------------------------------- multi-slice matmul variant
-
-def _conv_ms_stats_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, st_ref,
-                          scr_ref, *, h, w, ds):
-    """conv_ms that ALSO emits per-program partial GroupNorm statistics
-    of its output — (1, 1, 2, Cout): [sum, sum-of-squares] over the DS
-    slices, f32 before the output cast. The caller reduces the partials
-    over groups and computes the GN affine, removing the separate
-    convert_reduce stats passes over the grid (profiled ~0.5 ms/step
-    across the vnorm0 sites) when combined with the prenorm conv."""
-    hw = h * w
-    cout = out_ref.shape[-1]
-    out_dt = out_ref.dtype
-
-    scr_ref[0:ds] = a_ref[0]
-    scr_ref[ds:ds + 2] = n_ref[0, 0:2]
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
-    ys = rows // w
-    xs = rows % w
-    masks = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            masks.append((ys + dy >= 0) & (ys + dy < h)
-                         & (xs + dx >= 0) & (xs + dx < w))
-
-    def body(i, carry):
-        s1, s2 = carry
-        slab3 = jnp.concatenate(
-            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
-            axis=-1)                                        # (HW, 3*Cin)
-        m = jnp.dot(slab3, w_ref[...],
-                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
-        acc = jnp.zeros((hw, cout), jnp.float32)
-        j = 0
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                blk = m[:, j * cout:(j + 1) * cout]
-                s = dy * w + dx
-                if s:
-                    k = s % hw
-                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
-                acc = acc + jnp.where(masks[j], blk, 0.0)
-                j += 1
-        val = acc + b_ref[0, :]
-        out_ref[0, i] = val.astype(out_dt)
-        return (s1 + jnp.sum(val, axis=0, keepdims=True),
-                s2 + jnp.sum(val * val, axis=0, keepdims=True))
-
-    s1, s2 = jax.lax.fori_loop(
-        0, ds, body, (jnp.zeros((1, cout), jnp.float32),
-                      jnp.zeros((1, cout), jnp.float32)))
-    st_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)        # (2, Cout)
-
 
 def _conv_ms_kernel(w_ref, b_ref, a_ref, n_ref, out_ref, scr_ref, *,
                     h, w, ds):
@@ -496,137 +346,6 @@ def _ms_group_size(r: int, cin: int, cout: int) -> int:
     return max(d for d in (8, 4, 2) if r % d == 0)
 
 
-def _conv_ms_prenorm_kernel(w_ref, b_ref, a_ref, c_ref, a_blk, n_blk,
-                            out_ref, scr_ref, *, h, w, ds, ngroups):
-    """conv_ms with a per-(batch, channel) affine + swish applied while
-    the scratch window is assembled: slab' = swish(slab * a + c). With
-    a = gamma * rsqrt(var + eps) and c = beta - mean * a this fuses
-    GroupNorm-normalize + swish into the next conv — the halo makes the
-    redundancy only (DS+2)/DS, vs the 3x of the per-slab prenorm kernel
-    that lost its A/B (TODO r3 note). Inference path (no dropout, no
-    vjp).
-
-    D-halo care: the unfused path activates THEN pads, so the conv's
-    D-halo must be zero — but act(0) = swish(c) != 0. The scratch rows
-    that correspond to pad rows of the input (row 0 of the first group,
-    the last row of the last group) are therefore re-zeroed after
-    assembly. H/W halo is handled by the post-matmul border masks."""
-    hw = h * w
-    cin = a_blk.shape[-1]
-    cout = out_ref.shape[-1]
-    out_dt = out_ref.dtype
-    g_idx = pl.program_id(1)
-    aa = a_ref[0, 0]                                        # (Cin,)
-    cc = c_ref[0, 0]
-
-    def act(x):
-        xf = x.astype(jnp.float32) * aa + cc
-        return (xf * (1.0 / (1.0 + jnp.exp(-xf)))).astype(jnp.bfloat16)
-
-    scr_ref[0:ds] = act(a_blk[0])
-    scr_ref[ds:ds + 2] = act(n_blk[0, 0:2])
-
-    @pl.when(g_idx == 0)
-    def _():
-        scr_ref[0:1] = jnp.zeros((1, hw, cin), jnp.bfloat16)
-
-    @pl.when(g_idx == ngroups - 1)
-    def _():
-        scr_ref[ds + 1:ds + 2] = jnp.zeros((1, hw, cin), jnp.bfloat16)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
-    ys = rows // w
-    xs = rows % w
-    masks = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            masks.append((ys + dy >= 0) & (ys + dy < h)
-                         & (xs + dx >= 0) & (xs + dx < w))
-
-    def body(i, carry):
-        slab3 = jnp.concatenate(
-            [scr_ref[i], scr_ref[i + 1], scr_ref[i + 2]],
-            axis=-1)                                        # (HW, 3*Cin)
-        m = jnp.dot(slab3, w_ref[...],
-                    preferred_element_type=jnp.float32)     # (HW, 9*Cout)
-        acc = jnp.zeros((hw, cout), jnp.float32)
-        j = 0
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                blk = m[:, j * cout:(j + 1) * cout]
-                s = dy * w + dx
-                if s:
-                    k = s % hw
-                    blk = jnp.concatenate([blk[k:], blk[:k]], axis=0)
-                acc = acc + jnp.where(masks[j], blk, 0.0)
-                j += 1
-        out_ref[0, i] = (acc + b_ref[0, :]).astype(out_dt)
-        return carry
-
-    jax.lax.fori_loop(0, ds, body, 0)
-
-
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def conv3d_ms_prenorm_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
-                             bias: jnp.ndarray, a: jnp.ndarray,
-                             c: jnp.ndarray, resolution: int,
-                             interpret: bool | None = None,
-                             ds: int | None = None) -> jnp.ndarray:
-    """conv3d_ms(swish(grid * a + c)) with per-(batch, channel) affine
-    a, c (B, Cin) f32 — the fused [GroupNorm-normalize -> swish ->
-    Conv3d] step of PVConv's voxel branch (inference; the training path
-    keeps the unfused ops for dropout + autodiff). Same contract as
-    conv3d_ms_pallas otherwise."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    b, r, _, _, cin = grid.shape
-    assert r == resolution
-    cout = weights.shape[-1]
-    hw = r * r
-    out_dt = grid.dtype
-    if ds is None:
-        ds = _ms_group_size(r, cin, cout)
-    assert ds, (r, cin, cout)
-    ngroups = r // ds
-
-    gp = jnp.pad(grid.reshape(b, r, hw, cin).astype(jnp.bfloat16),
-                 ((0, 0), (1, ds - 1), (0, 0), (0, 0)))
-    wm = (weights.astype(jnp.bfloat16)
-          .reshape(3, 9, cin, cout).transpose(0, 2, 1, 3)
-          .reshape(3 * cin, 9 * cout))
-    bm = bias.astype(jnp.float32).reshape(1, cout)
-
-    def blk_spec(off):
-        return pl.BlockSpec((1, ds, hw, cin),
-                            lambda bi, g, _o=off: (bi, g + _o, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_conv_ms_prenorm_kernel, h=r, w=r, ds=ds,
-                          ngroups=ngroups),
-        grid=(b, ngroups),
-        in_specs=[
-            pl.BlockSpec((3 * cin, 9 * cout), lambda bi, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cin), lambda bi, g: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cin), lambda bi, g: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            blk_spec(0), blk_spec(1),
-        ],
-        out_specs=pl.BlockSpec((1, ds, hw, cout),
-                               lambda bi, g: (bi, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r, hw, cout), out_dt),
-        scratch_shapes=[pltpu.VMEM((ds + 2, hw, cin), jnp.bfloat16)],
-        interpret=interpret,
-    )(wm, bm, a.astype(jnp.float32).reshape(b, 1, cin),
-      c.astype(jnp.float32).reshape(b, 1, cin), gp, gp)
-    return out.reshape(b, r, r, r, cout)
-
-
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                      bias: jnp.ndarray, resolution: int,
@@ -687,8 +406,6 @@ def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
     if taps == "pad":
         kern = functools.partial(_conv_ms_pad_kernel, h=r, w=r, ds=ds)
         scratch.append(pltpu.VMEM((r + 2, r + 2, 9 * cout), jnp.float32))
-    elif taps == "stats":
-        kern = functools.partial(_conv_ms_stats_kernel, h=r, w=r, ds=ds)
     else:
         assert taps == "roll", taps
         kern = functools.partial(_conv_ms_kernel, h=r, w=r, ds=ds)
@@ -697,14 +414,6 @@ def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
                              lambda bi, g: (bi, g, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, r, hw, cout), out_dt)
-    if taps == "stats":
-        out_specs = [out_specs,
-                     pl.BlockSpec((1, 1, 2, cout),
-                                  lambda bi, g: (bi, g, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, ngroups, 2, cout),
-                                          jnp.float32)]
 
     out = pl.pallas_call(
         kern,
@@ -721,9 +430,6 @@ def conv3d_ms_pallas(grid: jnp.ndarray, weights: jnp.ndarray,
         scratch_shapes=scratch,
         interpret=interpret,
     )(wm, bm, gp, gp)
-    if taps == "stats":
-        grid_out, partials = out
-        return grid_out.reshape(b, r, r, r, cout), partials
     return out.reshape(b, r, r, r, cout)
 
 

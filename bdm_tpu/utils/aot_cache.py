@@ -87,9 +87,9 @@ _NON_GRAPH_FLAGS = ("BDM_AOT_CACHE", "BDM_AOT_CACHE_DIR",
 
 def _flag_signature() -> str:
     """Every BDM_* env flag except the cache controls participates in the
-    key: flags like BDM_CONV_IMPL / BDM_ZBUF / BDM_PRENORM_FUSE /
-    BDM_BARRIERS change the traced graph without changing any source, and
-    an A/B run must not be handed the other variant's executable."""
+    key: flags like BDM_CONV_IMPL / BDM_INTERP / BDM_DEVOX change the
+    traced graph without changing any source, and an A/B run must not be
+    handed the other variant's executable."""
     return ",".join(f"{k}={v}" for k, v in sorted(os.environ.items())
                     if k.startswith("BDM_") and k not in _NON_GRAPH_FLAGS)
 

@@ -212,44 +212,6 @@ def test_surface_projection_multi_vs_nearest_differ():
     assert ((multi > 0) != (near > 0)).any()
 
 
-def test_zbuf_runmin_bitexact_with_scatter_min(monkeypatch):
-    """BDM_ZBUF=runmin (sorted run-min z-buffer, N scatter rows) is
-    bit-exact with the scatter-min path — same f32 mins over the same
-    candidate sets — on dense, sparse, off-image and duplicate-depth
-    clouds."""
-    import os
-
-    from bdm_tpu.conditioning.projection import (_zbuf_from_runmin,
-                                                 project_points_to_pixels_multi,
-                                                 surface_projection, _INF)
-
-    rng = np.random.default_rng(3)
-    s = 16
-    for scale, npts in ((0.3, 64), (2.0, 40), (0.02, 128)):
-        pts_np = (rng.standard_normal((2, npts, 3)) * scale).astype(
-            np.float32)
-        # force duplicate depths and coincident points
-        pts_np[:, 1] = pts_np[:, 0]
-        pts = jnp.asarray(pts_np)
-        cam = identity_camera(b=2)
-        radius = 0.1  # pitch 0.125 at s=16: rp=0.8 -> K=2 window
-        pid, z, valid, y_base, x_base = project_points_to_pixels_multi(
-            pts, cam, s, radius)
-        zc = jnp.where(valid, z[..., None], _INF)
-        want = jnp.full((2, s * s + 1), _INF, z.dtype)
-        want = want.at[jnp.arange(2)[:, None, None], pid].min(zc)
-        got = _zbuf_from_runmin(zc, y_base, x_base, valid, s)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-        fmap = jnp.asarray(rng.standard_normal((2, s, s, 5)).astype(
-            np.float32))
-        ref = np.asarray(surface_projection(pts, cam, fmap, radius=radius))
-        monkeypatch.setenv("BDM_ZBUF", "runmin")
-        new = np.asarray(surface_projection(pts, cam, fmap, radius=radius))
-        monkeypatch.delenv("BDM_ZBUF")
-        np.testing.assert_array_equal(new, ref)
-
-
 def test_surface_projection_accepts_preflattened_map():
     """Samplers flatten the loop-invariant map to (B, H*W, C) once outside
     their scan (the in-scan reshape costs a per-step layout copy); the flat

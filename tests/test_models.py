@@ -184,9 +184,9 @@ def test_pc2_mixed_precision_wiring():
 
 
 def test_pvconv_tpu_path_matches_cpu_path(rng):
-    """The TPU-gated PVConv pipeline (Pallas scatter + ms conv + fused
-    GN0/swish prenorm + padded wide scatter) run in interpret mode must
-    match the plain CPU path within bf16 rounding."""
+    """The TPU-gated PVConv pipeline (Pallas scatter + ms conv + padded
+    wide scatter) run in interpret mode must match the plain CPU path
+    within bf16 rounding."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -202,16 +202,12 @@ def test_pvconv_tpu_path_matches_cpu_path(rng):
         m = PVConv(out_channels=16, resolution=res, dropout=0.0)
         params = m.init(jax.random.PRNGKey(0), feats, coords)
         want = m.apply(params, feats, coords, deterministic=True)
-        import os
-        for prenorm in ("0", "1"):
-            os.environ["BDM_PRENORM_FUSE"] = prenorm
-            set_pallas_enabled(True)
-            try:
-                got = m.apply(params, feats, coords, deterministic=True)
-            finally:
-                set_pallas_enabled(None)
-                os.environ.pop("BDM_PRENORM_FUSE", None)
-            np.testing.assert_allclose(
-                np.asarray(got.astype(jnp.float32)),
-                np.asarray(want.astype(jnp.float32)), rtol=0.1, atol=0.05,
-                err_msg=f"prenorm={prenorm} cin={cin}")
+        set_pallas_enabled(True)
+        try:
+            got = m.apply(params, feats, coords, deterministic=True)
+        finally:
+            set_pallas_enabled(None)
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(want.astype(jnp.float32)), rtol=0.1, atol=0.05,
+            err_msg=f"cin={cin}")

@@ -240,26 +240,6 @@ def test_pallas_ball_query_matches_reference(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_ball_query_rank_matches_reference(rng):
-    """Rank-form kernel (O(M*N) cumsum + per-slot 128-lane extraction)
-    must reproduce the scan-order first-U semantics bit-exactly across
-    hit regimes: none / sparse / == U / overflow."""
-    from bdm_tpu.ops.pallas.ball_query import ball_query_rank_pallas
-    for b, m, n, u, radius in [
-        (2, 128, 256, 8, 0.4),     # one tile, sparse hits
-        (2, 128, 256, 8, 5.0),     # every point hits (overflow)
-        (2, 128, 256, 8, 1e-4),    # (almost) no hits
-        (1, 256, 512, 32, 0.6),    # multi-tile m, production U
-        (3, 16, 128, 4, 0.5),      # small m (sublane-only tile)
-    ]:
-        points = rng.standard_normal((b, n, 3)).astype(np.float32)
-        centers = points[:, :: n // m][:, :m]
-        got = np.asarray(ball_query_rank_pallas(
-            jnp.asarray(centers), jnp.asarray(points), radius, u, True))
-        want = np_ball_query(centers, points, radius, u)
-        np.testing.assert_array_equal(got, want, err_msg=str((m, n, radius)))
-
-
 def test_pallas_three_nn_matches_reference(rng):
     from bdm_tpu.ops.pallas import three_nn_pallas
     points = rng.standard_normal((2, 64, 3)).astype(np.float32)
@@ -559,29 +539,6 @@ def test_conv3d_ms_shape_sweep(rng):
                             - ref.astype(jnp.float32)).max())
         scale = float(jnp.abs(ref.astype(jnp.float32)).max()) + 1e-6
         assert err <= 0.05 * scale + 0.02, (b, r, cin, cout, err, scale)
-
-
-def test_conv3d_ms_stats_variant(rng):
-    """The 'stats' variant returns the same grid plus exact per-group
-    [sum, sum^2] partials of the f32 output."""
-    from bdm_tpu.ops.pallas.conv3d import conv3d_ms_pallas
-    b, r, cin, cout = 2, 8, 16, 16
-    x = jnp.asarray(rng.standard_normal((b, r, r, r, cin)).astype(
-        np.float32)).astype(jnp.bfloat16)
-    k = jnp.asarray((rng.standard_normal((3, 3, 3, cin, cout)) * 0.2)
-                    .astype(np.float32))
-    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
-    plain = conv3d_ms_pallas(x, k, bias, r, True)
-    got, partials = conv3d_ms_pallas(x, k, bias, r, True, None, "stats")
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
-    s = np.asarray(partials).sum(axis=1)              # (B, 2, C)
-    # partials accumulate the f32 conv output BEFORE the bf16 store, so
-    # they differ from stats of the rounded grid by O(bf16 eps)
-    gf = np.asarray(got.astype(jnp.float32))
-    np.testing.assert_allclose(s[:, 0], gf.sum(axis=(1, 2, 3)),
-                               rtol=2e-2, atol=0.5)
-    np.testing.assert_allclose(s[:, 1], (gf * gf).sum(axis=(1, 2, 3)),
-                               rtol=2e-2, atol=1.0)
 
 
 def test_conv3d_ms_prepadded_matches_unpadded(rng):

@@ -46,7 +46,4 @@ PY
 }
 
 run_variant devox_mm BDM_DEVOX=mm
-# bq_rank re-run: the first sweep attempt died in Mosaic verification
-# (float iota), fixed in ops/pallas/ball_query.py
-run_variant bq_rank BDM_BQ=rank
 echo "=== r5 devox A/B done $(date) ==="
