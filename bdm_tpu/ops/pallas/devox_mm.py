@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _devox_mm_kernel(xlo_ref, xhi_ref, dq_ref, *refs, r: int, hw: int,
-                     maxp: int, c: int):
+                     ht: int, maxp: int, c: int):
     *grid_refs, out_ref = refs
     b = pl.program_id(0)
     k = pl.program_id(1)
@@ -55,30 +55,40 @@ def _devox_mm_kernel(xlo_ref, xhi_ref, dq_ref, *refs, r: int, hw: int,
     z0, z1 = dq[:, 8:9], dq[:, 9:10]
     wz0, wz1 = dq[:, 10:11], dq[:, 11:12]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
-    cy = (col // r).astype(jnp.float32)
-    cz = (col % r).astype(jnp.float32)
-    # in-slice weights: 2x2 window per point, coincident corners add
-    ay = wy0 * (cy == y0) + wy1 * (cy == y1)         # (maxp, hw)
-    az = wz0 * (cz == z0) + wz1 * (cz == z1)
-    wyz = ay * az                                    # f32
-
     s0 = xlo_ref[b, k]
     s1 = xhi_ref[b, k]
 
+    # The in-slice (hw) dimension is processed in STATIC tiles of ht
+    # columns: the compare-built weight temporaries are (maxp, ht), not
+    # (maxp, hw) — a hoisted full-width build blew Mosaic's scoped-vmem
+    # stack (18.5M > 16M) at the R=32 / hw=1024 stage-0 site. The
+    # compares are recomputed per D-slice iteration; that is a handful of
+    # VPU elementwise passes against the MXU contraction they feed.
     def body(s, acc):
         sf = s.astype(jnp.float32)
         xw = wx0 * (sf == xc0) + wx1 * (sf == xc1)   # (maxp, 1)
-        m = (xw * wyz).astype(jnp.bfloat16)          # one f32->bf16 round
-        parts = []
-        for gref in grid_refs:
-            # the D-slice is a LEADING (untiled) block dim — a dynamic
-            # index there is legal for bf16 blocks, where a dynamic
-            # sublane-dim slice is not (Mosaic alignment proof)
-            g = gref[0, s]                           # (hw, <=128) bf16
-            parts.append(jnp.dot(m, g, preferred_element_type=jnp.float32))
-        return acc + (parts[0] if len(parts) == 1
-                      else jnp.concatenate(parts, axis=1))
+        tparts = []
+        for t in range(hw // ht):
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, ht), 1) + t * ht
+            cy = (col // r).astype(jnp.float32)
+            cz = (col % r).astype(jnp.float32)
+            # in-slice weights: 2x2 window per point, coincident corners
+            # at frac == 0 ADD their weights at the same column
+            ay = wy0 * (cy == y0) + wy1 * (cy == y1)   # (maxp, ht)
+            az = wz0 * (cz == z0) + wz1 * (cz == z1)
+            m = (xw * (ay * az)).astype(jnp.bfloat16)  # one f32->bf16 round
+            parts = []
+            for gref in grid_refs:
+                # the D-slice is a LEADING (untiled) block dim — a dynamic
+                # index there is legal for bf16 blocks, where a dynamic
+                # sublane-dim slice is not (Mosaic alignment proof); the
+                # hw-tile slice is STATIC, so it is legal on the sublane dim
+                g = gref[0, s, t * ht:(t + 1) * ht]    # (ht, <=128) bf16
+                parts.append(
+                    jnp.dot(m, g, preferred_element_type=jnp.float32))
+            tparts.append(parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=1))
+        return acc + sum(tparts)
 
     acc = jax.lax.fori_loop(s0, s1 + 1, body,
                             jnp.zeros((maxp, c), jnp.float32))
@@ -112,8 +122,14 @@ def devox_mm_sorted_pallas(grid: jnp.ndarray, dq: jnp.ndarray,
     gw = cpad // ngroups
     assert gw * ngroups == cpad and gw <= 128
 
-    kernel = functools.partial(_devox_mm_kernel, r=r, hw=hw, maxp=maxp,
-                               c=cpad)
+    # hw tile width: bounds the kernel's scoped-vmem temporaries at
+    # (maxp, ht) while keeping full 128-lane tiles (hw = r*r >= 256 at
+    # every production site; r=8 -> hw=64 stays one sub-width tile)
+    ht = hw
+    while ht > 256:
+        ht //= 2
+    kernel = functools.partial(_devox_mm_kernel, r=r, hw=hw, ht=ht,
+                               maxp=maxp, c=cpad)
     grid4 = grid.reshape(b, r, hw, cpad)
     grid_specs = [
         pl.BlockSpec((1, r, hw, gw), lambda bi, ki, _g=g: (bi, 0, 0, _g),
