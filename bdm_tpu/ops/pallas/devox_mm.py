@@ -64,6 +64,9 @@ def _devox_mm_kernel(xlo_ref, xhi_ref, dq_ref, *refs, r: int, hw: int,
     # stack (18.5M > 16M) at the R=32 / hw=1024 stage-0 site. The
     # compares are recomputed per D-slice iteration; that is a handful of
     # VPU elementwise passes against the MXU contraction they feed.
+    # NOTE the t-loop is Python-unrolled, so Mosaic keeps every tile's
+    # temporaries live at once — maxp bounds the real footprint (256
+    # still measured 16.12M > 16M at that site; callers pass 128).
     def body(s, acc):
         sf = s.astype(jnp.float32)
         xw = wx0 * (sf == xc0) + wx1 * (sf == xc1)   # (maxp, 1)

@@ -507,7 +507,7 @@ def _devox_sorted_tables(ctx: VoxelContext, maxp: int):
 
 
 def trilinear_devoxelize_ctx(grid: jnp.ndarray, ctx: VoxelContext,
-                             maxp: int = 256,
+                             maxp: int = 128,
                              sorted_out: bool = False) -> jnp.ndarray:
     """Matmul-form trilinear devoxelize using the stage's voxel sort: the
     per-point 2x2x2 window sample becomes a few (maxp, R^2) x (R^2, C) MXU

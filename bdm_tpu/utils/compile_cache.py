@@ -90,7 +90,95 @@ def setup_compile_cache(min_compile_secs: float = 0.0) -> Optional[str]:
     # the AOT executable cache lives inside the same namespace so a
     # redirected process can't race the shared one there either
     os.environ.setdefault("BDM_AOT_CACHE_DIR", os.path.join(d, "aot"))
+    _install_serialize_guard()
     return d
+
+
+# Module-name prefix of the milestone scan programs (window scans, fused
+# rolls, nstep fuse) — the only executables XLA:CPU's serializer has ever
+# aborted on (round-4 multistream merging, round-5 the PNDM window scan
+# mid-suite; both `Fatal Python error: Aborted` inside
+# `compilation_cache.py:265 put_executable_and_time`).
+_RISKY_MODULE_PREFIX = "jit__jitted"
+
+
+def _install_serialize_guard() -> None:
+    """Fence the persistent-cache write path against XLA:CPU's
+    giant-executable serializer abort (round-4 verdict #1).
+
+    `executable.serialize()` is native code that has aborted the whole
+    process (suite-state-dependently, but reproducibly 4/4) on the big
+    milestone-scan executables. A Python try/except cannot catch a native
+    abort, so for those modules on the CPU backend the serialize is first
+    *probed in a forked child*: the child runs serialize and `_exit(0)`;
+    if it dies (signal, abort, alarm) the parent skips that one cache
+    write and the suite keeps running — the executable stays usable
+    in-memory, it just isn't persisted. TPU executables serialize through
+    the PJRT plugin and are untouched.
+
+    Optional diagnostics: when BDM_CACHE_WRITE_LOG names a file, one
+    fsynced line is appended per write attempt (module + RSS) before the
+    native serialize runs, so even an unguarded crash names its culprit.
+    """
+    from jax._src import compilation_cache as _cc
+    if getattr(_cc, "_bdm_serialize_guarded", False):
+        return
+    real_put = _cc.put_executable_and_time
+    log_path = os.environ.get("BDM_CACHE_WRITE_LOG")
+
+    def _log(line: str) -> None:
+        if not log_path:
+            return
+        rss = "?"
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        rss = ln.split()[1] + "kB"
+                        break
+        except OSError:
+            pass
+        fd = os.open(log_path, os.O_CREAT | os.O_WRONLY | os.O_APPEND,
+                     0o644)
+        try:
+            os.write(fd, f"{line} rss={rss}\n".encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def _probe_serialize(executable) -> bool:
+        """True iff serialize() completes in a forked child."""
+        try:
+            pid = os.fork()
+        except OSError:
+            return True  # cannot probe — attempt the write unguarded
+        if pid == 0:
+            # child: bounded probe; _exit always (no atexit/teardown)
+            import signal
+            signal.alarm(180)  # a wedged fork (lock held at fork time)
+            try:
+                os.close(1)
+                os.close(2)
+                executable.serialize()
+                os._exit(0)
+            except BaseException:
+                os._exit(1)
+        _, status = os.waitpid(pid, 0)
+        return os.waitstatus_to_exitcode(status) == 0
+
+    def guarded_put(cache_key, module_name, executable, backend,
+                    compile_time):
+        _log(f"WRITE {module_name}")
+        if (getattr(backend, "platform", None) == "cpu"
+                and str(module_name).startswith(_RISKY_MODULE_PREFIX)):
+            if not _probe_serialize(executable):
+                _log(f"SKIP {module_name} (serializer probe died)")
+                return
+        return real_put(cache_key, module_name, executable, backend,
+                        compile_time)
+
+    _cc.put_executable_and_time = guarded_put
+    _cc._bdm_serialize_guarded = True
 
 
 @contextlib.contextmanager
