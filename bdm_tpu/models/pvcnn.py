@@ -410,13 +410,6 @@ class PVConv(nn.Module):
                 devoxelize_point_sharded)
             voxel_features = devoxelize_point_sharded(
                 g, norm_coords, self.sp_mesh).astype(acc_dt)
-        elif (os.environ.get("BDM_DEVOX", "window") == "mm" and on_tpu
-                and deterministic and features.shape[1] % 256 == 0):
-            # matmul-form sorted devox (A/B vs the window gather): MXU
-            # contractions over sorted point chunks + one inverse-perm
-            # row gather, reusing the stage's voxel sort
-            voxel_features = ops.trilinear_devoxelize_ctx(
-                g, vox_ctx).astype(acc_dt)
         else:
             voxel_features = ops.trilinear_devoxelize(
                 g, norm_coords).astype(acc_dt)

@@ -20,7 +20,6 @@ from bdm_tpu.ops.voxelize import (
     make_voxel_context,
     VoxelContext,
     trilinear_devoxelize,
-    trilinear_devoxelize_ctx,
 )
 from bdm_tpu.ops.sampling import furthest_point_sample, gather
 from bdm_tpu.ops.ball_query import ball_query
@@ -35,7 +34,6 @@ __all__ = [
     "make_voxel_context",
     "VoxelContext",
     "trilinear_devoxelize",
-    "trilinear_devoxelize_ctx",
     "furthest_point_sample",
     "gather",
     "ball_query",

@@ -481,60 +481,6 @@ def _trilinear_devoxelize_window(grid: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _devox_sorted_tables(ctx: VoxelContext, maxp: int):
-    """Per-point trilinear corner/weight table in SORTED voxel order plus
-    per-chunk inclusive D-slice bounds, for the matmul-form devoxelize
-    (`ops/pallas/devox_mm.py`). Feature-free — shared by every PVConv of a
-    stage, like the rest of the VoxelContext.
-
-    Returns (dq (B, N, 12) f32 sorted, xlo (B, K) i32, xhi (B, K) i32).
-    """
-    nc = jnp.take_along_axis(ctx.norm_coords, ctx.order[..., None], axis=1)
-    lo_f = jnp.floor(nc)
-    frac = nc - lo_f                                  # (B, N, 3) in [0, 1)
-    step = (frac > 0).astype(lo_f.dtype)              # corner rule
-    hi_f = lo_f + step
-    dq = jnp.concatenate([
-        lo_f[..., 0:1], hi_f[..., 0:1], 1.0 - frac[..., 0:1], frac[..., 0:1],
-        lo_f[..., 1:2], hi_f[..., 1:2], 1.0 - frac[..., 1:2], frac[..., 1:2],
-        lo_f[..., 2:3], hi_f[..., 2:3], 1.0 - frac[..., 2:3], frac[..., 2:3],
-    ], axis=-1).astype(jnp.float32)                   # (B, N, 12)
-    b, n = ctx.ids_sorted.shape
-    k = n // maxp
-    xlo = lo_f[..., 0].astype(jnp.int32).reshape(b, k, maxp).min(axis=2)
-    xhi = hi_f[..., 0].astype(jnp.int32).reshape(b, k, maxp).max(axis=2)
-    return dq, xlo, xhi
-
-
-def trilinear_devoxelize_ctx(grid: jnp.ndarray, ctx: VoxelContext,
-                             maxp: int = 128,
-                             sorted_out: bool = False) -> jnp.ndarray:
-    """Matmul-form trilinear devoxelize using the stage's voxel sort: the
-    per-point 2x2x2 window sample becomes a few (maxp, R^2) x (R^2, C) MXU
-    contractions per sorted point chunk (`ops/pallas/devox_mm.py`) instead
-    of N strided window gathers (START-bound at ~20x byte cost, profiled
-    ~650 us per R=32 / N=4096 site).
-
-    Inference-only (no VJP); callers gate on `deterministic`. With
-    `sorted_out=True` the (B, N, C) result stays in ctx.order (for callers
-    that keep the whole stage sorted); otherwise one inverse-permutation
-    row gather restores point order.
-    """
-    from bdm_tpu.ops.pallas.devox_mm import devox_mm_sorted_pallas
-    b, r, _, _, c = grid.shape
-    n = ctx.ids_sorted.shape[1]
-    assert n % maxp == 0, (n, maxp)
-    dq, xlo, xhi = _devox_sorted_tables(ctx, maxp)
-    out = devox_mm_sorted_pallas(
-        grid.reshape(b, r * r * r, c).astype(jnp.bfloat16), dq, xlo, xhi,
-        r, maxp=maxp,
-        out_dtype=grid.dtype if grid.dtype == jnp.bfloat16 else jnp.float32)
-    if sorted_out:
-        return out
-    inv = jnp.argsort(ctx.order, axis=1)
-    return jnp.take_along_axis(out, inv[..., None], axis=1)
-
-
 def point_to_voxel_to_point(features: jnp.ndarray, coords: jnp.ndarray,
                             resolution: int, voxel_fn, normalize: bool = True,
                             eps: float = 0.0) -> jnp.ndarray:

@@ -87,7 +87,7 @@ _NON_GRAPH_FLAGS = ("BDM_AOT_CACHE", "BDM_AOT_CACHE_DIR",
 
 def _flag_signature() -> str:
     """Every BDM_* env flag except the cache controls participates in the
-    key: flags like BDM_CONV_IMPL / BDM_INTERP / BDM_DEVOX change the
+    key: flags like BDM_CONV_IMPL / BDM_INTERP change the
     traced graph without changing any source, and an A/B run must not be
     handed the other variant's executable."""
     return ",".join(f"{k}={v}" for k, v in sorted(os.environ.items())
@@ -143,7 +143,19 @@ def aot_call(fn: Callable, static_args: tuple, dyn_args: tuple, *,
                            "recompiling", path.name, type(e).__name__, e)
 
     try:
-        compiled = fn.lower(*static_args, *dyn_args).compile()
+        # Per-compile TPU backend options (forwarded to the remote compile
+        # helper as proto-backed flags — the client-side XLA_FLAGS parser
+        # rejects TPU-only flag names). BDM_SCOPED_VMEM_KIB raises the
+        # Mosaic scoped-vmem carve-out for executables whose kernels are
+        # squeezed by the surrounding program (the devox=mm window scan
+        # measured 16.06M vs the 16M default IN-GRAPH, while compiling
+        # clean standalone).
+        opts = {}
+        kib = os.environ.get("BDM_SCOPED_VMEM_KIB")
+        if kib and jax.default_backend() == "tpu":
+            opts["xla_tpu_scoped_vmem_limit_kib"] = int(kib)
+        compiled = fn.lower(*static_args, *dyn_args).compile(
+            compiler_options=opts or None)
     except Exception as e:
         # AOT path unsupported for this call — plain dispatch
         logger.debug("aot_cache: lower/compile failed for %s (%s: %s)",

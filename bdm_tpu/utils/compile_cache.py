@@ -10,19 +10,18 @@ Two hazards drove this module (round-4 verdict items #1 and #7):
   a private `<dir>_pid<pid>` namespace (correct, just colder). The lock is
   held for the process lifetime and vanishes with it.
 
-* **Giant-executable serializer crash**: XLA:CPU's
-  `executable.serialize()` segfaulted deterministically (4/4) writing the
-  multi-stream merging executable to the persistent cache mid-suite
-  (jax 0.9.0 `compilation_cache.py:265`). `no_persistent_cache()` disables
-  the persistent cache around exactly those compiles on the CPU backend;
-  TPU executables serialize through the PJRT plugin and keep caching (a
-  cold multi-stream compile costs ~10 min through the remote helper —
-  losing that cache would be far worse than the write).
+* **Giant-executable cache round-trip crash**: XLA:CPU's native
+  serialize/deserialize of the milestone-scan executables corrupts the
+  process heap (jax 0.9.0; full evidence in `_install_serialize_guard`).
+  The guard keeps those modules out of the persistent cache in BOTH
+  directions on the CPU backend; TPU executables round-trip through the
+  PJRT plugin serializer and keep caching (a cold scan compile costs
+  minutes through the remote helper — losing that cache would be far
+  worse).
 """
 
 from __future__ import annotations
 
-import contextlib
 import os
 from typing import Optional
 
@@ -95,35 +94,45 @@ def setup_compile_cache(min_compile_secs: float = 0.0) -> Optional[str]:
 
 
 # Module-name prefix of the milestone scan programs (window scans, fused
-# rolls, nstep fuse) — the only executables XLA:CPU's serializer has ever
-# aborted on (round-4 multistream merging, round-5 the PNDM window scan
-# mid-suite; both `Fatal Python error: Aborted` inside
-# `compilation_cache.py:265 put_executable_and_time`).
+# rolls, nstep fuse) — the executables whose persistent-cache round trips
+# crash XLA:CPU (see _install_serialize_guard).
 _RISKY_MODULE_PREFIX = "jit__jitted"
 
 
 def _install_serialize_guard() -> None:
-    """Fence the persistent-cache write path against XLA:CPU's
-    giant-executable serializer abort (round-4 verdict #1).
+    """Exclude the milestone-scan executables from the persistent cache on
+    the CPU backend — BOTH directions (round-4 verdict #1).
 
-    `executable.serialize()` is native code that has aborted the whole
-    process (suite-state-dependently, but reproducibly 4/4) on the big
-    milestone-scan executables. A Python try/except cannot catch a native
-    abort, so for those modules on the CPU backend the serialize is first
-    *probed in a forked child*: the child runs serialize and `_exit(0)`;
-    if it dies (signal, abort, alarm) the parent skips that one cache
-    write and the suite keeps running — the executable stays usable
-    in-memory, it just isn't persisted. TPU executables serialize through
-    the PJRT plugin and are untouched.
+    Evidence trail (all on `pytest tests/ -q`, 8-virtual-device CPU):
+      * cold cache, plain jax: `Fatal Python error: Aborted` INSIDE
+        `executable.serialize()` of the big PNDM window scan
+        (`compilation_cache.py:265`) — glibc catching heap damage in the
+        act;
+      * serialize quarantined to a forked child (entry still written):
+        the parent SEGFAULTS ~1 test later serializing a trivial
+        `jit__truncated_normal`;
+      * warm cache (giants DESERIALIZED, never compiled or serialized
+        in-process): the parent still segfaults on the next trivial
+        serialize after the giant loads.
+    So both the native serialize AND deserialize of these huge while-loop
+    executables poison the process heap, and the victim is whichever
+    serialize runs next. A Python try/except can catch neither. The only
+    safe posture is to keep them out of the persistent cache entirely on
+    CPU: reads miss (they recompile in-process, which has never crashed),
+    writes are dropped. TPU executables round-trip through the PJRT
+    plugin serializer and are unaffected; the tests' per-run cost is a
+    handful of in-process scan compiles.
 
     Optional diagnostics: when BDM_CACHE_WRITE_LOG names a file, one
     fsynced line is appended per write attempt (module + RSS) before the
-    native serialize runs, so even an unguarded crash names its culprit.
+    native serialize runs, so an unguarded crash names its culprit.
     """
     from jax._src import compilation_cache as _cc
+    from jax._src import compiler as _compiler
     if getattr(_cc, "_bdm_serialize_guarded", False):
         return
     real_put = _cc.put_executable_and_time
+    real_read = _compiler._cache_read
     log_path = os.environ.get("BDM_CACHE_WRITE_LOG")
 
     def _log(line: str) -> None:
@@ -146,55 +155,27 @@ def _install_serialize_guard() -> None:
         finally:
             os.close(fd)
 
-    def _probe_serialize(executable) -> bool:
-        """True iff serialize() completes in a forked child."""
-        try:
-            pid = os.fork()
-        except OSError:
-            return True  # cannot probe — attempt the write unguarded
-        if pid == 0:
-            # child: bounded probe; _exit always (no atexit/teardown)
-            import signal
-            signal.alarm(180)  # a wedged fork (lock held at fork time)
-            try:
-                os.close(1)
-                os.close(2)
-                executable.serialize()
-                os._exit(0)
-            except BaseException:
-                os._exit(1)
-        _, status = os.waitpid(pid, 0)
-        return os.waitstatus_to_exitcode(status) == 0
+    def _risky(backend, module_name) -> bool:
+        return (getattr(backend, "platform", None) == "cpu"
+                and str(module_name).startswith(_RISKY_MODULE_PREFIX))
 
     def guarded_put(cache_key, module_name, executable, backend,
                     compile_time):
         _log(f"WRITE {module_name}")
-        if (getattr(backend, "platform", None) == "cpu"
-                and str(module_name).startswith(_RISKY_MODULE_PREFIX)):
-            if not _probe_serialize(executable):
-                _log(f"SKIP {module_name} (serializer probe died)")
-                return
+        if _risky(backend, module_name):
+            _log(f"DROP {module_name} (CPU scan executable)")
+            return
         return real_put(cache_key, module_name, executable, backend,
                         compile_time)
 
+    def guarded_read(module_name, cache_key, compile_options, backend,
+                     executable_devices):
+        if _risky(backend, module_name):
+            _log(f"MISS {module_name} (CPU scan executable)")
+            return None, None
+        return real_read(module_name, cache_key, compile_options, backend,
+                         executable_devices)
+
     _cc.put_executable_and_time = guarded_put
+    _compiler._cache_read = guarded_read
     _cc._bdm_serialize_guarded = True
-
-
-@contextlib.contextmanager
-def no_persistent_cache():
-    """Disable the persistent compilation cache around a compile whose
-    executable is known to crash XLA:CPU's serializer (the multi-stream
-    samplers' S-duplicated graphs). No-op on non-CPU backends, and no-op
-    for already-compiled signatures (jit's in-memory cache is unaffected
-    — verified: toggling this flag does not invalidate jit keys)."""
-    if jax.default_backend() != "cpu":
-        yield
-        return
-    try:
-        from jax._src import config as _jcfg
-        ctx = _jcfg.enable_compilation_cache(False)
-    except Exception:  # private API moved — run unguarded
-        ctx = contextlib.nullcontext()
-    with ctx:
-        yield

@@ -85,7 +85,7 @@ def test_corrupt_cache_file_recovers(tmp_cache):
 
 def test_graph_shaping_env_flags_change_the_key(monkeypatch):
     """BDM_* flags that reshape the traced graph (BDM_CONV_IMPL,
-    BDM_DEVOX, ...) must produce distinct cache keys; the cache-control
+    BDM_SCOPED_VMEM_KIB, ...) must produce distinct cache keys; the cache-control
     flags must not."""
     from bdm_tpu.utils.aot_cache import _key
 
@@ -94,8 +94,8 @@ def test_graph_shaping_env_flags_change_the_key(monkeypatch):
     monkeypatch.setenv("BDM_CONV_IMPL", "slab")
     assert _key("t", "s", args) != base
     monkeypatch.delenv("BDM_CONV_IMPL")
-    monkeypatch.setenv("BDM_DEVOX", "mm")
+    monkeypatch.setenv("BDM_SCOPED_VMEM_KIB", "18432")
     assert _key("t", "s", args) != base
-    monkeypatch.delenv("BDM_DEVOX")
+    monkeypatch.delenv("BDM_SCOPED_VMEM_KIB")
     monkeypatch.setenv("BDM_AOT_CACHE_DIR", "/tmp/elsewhere")
     assert _key("t", "s", args) == base
