@@ -40,8 +40,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     interpret: bool | None = None) -> jnp.ndarray:
+def _attention_pallas_fwd_only(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray,
+                               interpret: bool | None = None) -> jnp.ndarray:
     """q, k, v (B, S, C) -> softmax(q @ k^T) @ v, no 1/sqrt(C) scale.
 
     S must be a multiple of the q-block (512 or S itself when smaller).
@@ -68,3 +69,44 @@ def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, s, c), v.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+@jax.custom_vjp
+def attention_pallas(q: jnp.ndarray, k: jnp.ndarray,
+                     v: jnp.ndarray) -> jnp.ndarray:
+    """`softmax(q @ k^T) @ v` (no 1/sqrt(C) scale): Pallas forward,
+    XLA-einsum backward.
+
+    The kernel itself has no transpose rule, and PVConv training
+    differentiates through the voxel attention (`modules/pvconv.py:51`
+    sites) — so the VJP recomputes the attention weights in plain
+    einsum/softmax form (f32 softmax, like both forwards) and applies
+    the standard softmax/matmul cotangents. Forward numerics are the
+    kernel's; backward numerics match the XLA fallback path in
+    `models/layers.py::Attention` — the pair a training step would use
+    anyway if the kernel were gated off."""
+    return _attention_pallas_fwd_only(q, k, v)
+
+
+def _attn_vjp_fwd(q, k, v):
+    return _attention_pallas_fwd_only(q, k, v), (q, k, v)
+
+
+def _attn_vjp_bwd(res, g):
+    q, k, v = res
+    logits = jnp.einsum("bic,bjc->bij", q, k,
+                        preferred_element_type=jnp.float32)
+    w32 = jax.nn.softmax(logits, axis=-1)              # (B, S, S) f32
+    w = w32.astype(v.dtype)
+    dv = jnp.einsum("bij,bic->bjc", w, g)
+    dw = jnp.einsum("bic,bjc->bij", g, v,
+                    preferred_element_type=jnp.float32)
+    # softmax VJP: dlogits = w * (dw - sum_j(dw * w))
+    dlogits = (w32 * (dw - jnp.sum(dw * w32, axis=-1, keepdims=True))
+               ).astype(q.dtype)
+    dq = jnp.einsum("bij,bjc->bic", dlogits, k)
+    dk = jnp.einsum("bij,bic->bjc", dlogits, q)
+    return dq, dk, dv
+
+
+attention_pallas.defvjp(_attn_vjp_fwd, _attn_vjp_bwd)

@@ -40,3 +40,44 @@ setup_compile_cache(min_compile_secs=1.0)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def _rss_kb() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+_SHED_RSS_KB = int(os.environ.get("BDM_TEST_SHED_RSS_KB", 3_000_000))
+
+
+@pytest.fixture(autouse=True)
+def _shed_executable_state():
+    """Free compiled-executable state when the process grows past ~3 GB.
+
+    XLA:CPU segfaults NATIVELY — abort in `executable.serialize()`, later
+    (with those writes fenced off) a segfault inside
+    `backend_compile_and_load` itself — once the suite has accumulated
+    thousands of live jitted executables: the same window-scan graphs
+    compile fine early in the run (RSS 1.6-4.3 GB) and crash
+    deterministically at the suite's high-water mark (RSS ~7 GB), while
+    every crashing test passes in isolation. Dropping the jit and AOT
+    executable caches between tests once RSS crosses the threshold keeps
+    the process under the state level where the native crashes appear.
+    The cost is recompiles for later tests (warmed by the persistent
+    cache for everything but the fenced scan executables)."""
+    yield
+    if _rss_kb() > _SHED_RSS_KB:
+        import gc
+
+        from bdm_tpu.utils import aot_cache
+
+        jax.clear_caches()
+        with aot_cache._LOCK:
+            aot_cache._LOADED.clear()
+        gc.collect()

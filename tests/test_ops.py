@@ -513,13 +513,41 @@ def test_attention_pallas_interpret(rng):
     b, s, c = 2, 1024, 32
     q, k, v = (jnp.asarray(rng.standard_normal((b, s, c)).astype(
         np.float32)).astype(jnp.bfloat16) for _ in range(3))
-    got = attention_pallas(q, k, v, True).astype(jnp.float32)
+    got = attention_pallas(q, k, v).astype(jnp.float32)
     logits = jnp.einsum("bic,bjc->bij", q.astype(jnp.float32),
                         k.astype(jnp.float32))
     w = jax.nn.softmax(logits, axis=-1)
     want = jnp.einsum("bij,bjc->bic", w, v.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_attention_pallas_grad(rng):
+    """The custom VJP (XLA-einsum backward) matches grads of the plain
+    einsum attention — PVConv training differentiates this op."""
+    from bdm_tpu.ops.pallas.attention import attention_pallas
+    b, s, c = 1, 512, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, c)).astype(
+        np.float32)).astype(jnp.bfloat16) for _ in range(3))
+
+    def ref(q, k, v):
+        logits = jnp.einsum("bic,bjc->bij", q, k,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bij,bjc->bic", w, v)
+
+    def loss_k(q, k, v):
+        return jnp.sum(attention_pallas(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(ref(q, k, v).astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=5e-2, atol=5e-2)
 
 
 def test_conv3d_ms_shape_sweep(rng):
