@@ -49,16 +49,22 @@ def train_loop(state: TrainState, loss_fn: Callable, tx, data_iter: Iterable,
 
     t_start = time.time()
     start_step = int(state.step)
+    # Track the step count on host: `int(state.step)` per iteration is a
+    # blocking device round-trip that serializes dispatch (on a tunneled
+    # device it dominated the step wall-clock); syncing only at the log
+    # cadence lets the host run ahead and pipeline up to `log_step_freq`
+    # steps into the device queue.
+    step = start_step
     from bdm_tpu.data.loader import model_batch
     for batch in data_iter:
-        if int(state.step) >= max_steps:
+        if step >= max_steps:
             break
         batch = model_batch(batch)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub)
-        step = int(state.step)
+        step += 1
 
         if profile_dir is not None:
             if step == profile_steps[0] and not profiling:
