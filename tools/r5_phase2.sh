@@ -32,7 +32,12 @@ for s in $SEL; do
     train5k)
       # bf16 5k-step training demo at production shapes (verdict item 4)
       step "train 5k bf16"
+      # dataset.max_points=4096 is REQUIRED: the config default mirrors the
+      # reference's 16384, and at N=16384 the sa0 ball-query kernel's
+      # scoped-vmem stack (32.75M) exceeds Mosaic's 16M limit in the
+      # train-step executable (measured r5)
       timeout 14400 python -m bdm_tpu.main run.job=train dataset=synthetic \
+        dataset.max_points=4096 \
         run.max_steps=5000 run.val_freq=1000 run.checkpoint_freq=2500 \
         run.vis_freq=5000 run.name=pc2_synth_bf16_5k 2>&1 | tail -15
       cp outputs/pc2_synth_bf16_5k/train_log.jsonl \
