@@ -408,6 +408,42 @@ class Supervisor:
         self.emit(None, error=f"killed by signal {signum} mid-run")
         os._exit(0)
 
+    def _wait_for_backend(self):
+        """Pre-gate: a wedged terminal (an orphaned giant compile on the
+        remote helper — r5 diagnosis, ARCHITECTURE.md) makes backend init
+        hang or fail UNAVAILABLE for minutes and then heal on its own.
+        Probe `jax.devices()` in a subprocess (a hung init can't block
+        the supervisor's signal handling) and wait out the wedge before
+        spending the attempt budget: bounded to <=1h of probing, always
+        leaving >=25 min for a real attempt, and always falling through
+        to one attempt so the worker's own error is what gets reported
+        if the backend never comes back."""
+        t_gate = time.monotonic()
+        probe = "import jax; jax.devices(); print('backend-up')"
+        first = True
+        while True:
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   timeout=120.0, capture_output=True,
+                                   text=True)
+                if r.returncode == 0 and "backend-up" in r.stdout:
+                    if not first:
+                        log("supervisor: backend recovered after "
+                            f"{time.monotonic() - t_gate:.0f}s")
+                    return
+            except subprocess.TimeoutExpired:
+                pass
+            if (time.monotonic() - t_gate > 3600.0
+                    or self.remaining() <= 1500.0):
+                log("supervisor: backend still unavailable after the "
+                    "probe window — attempting anyway so the failure is "
+                    "reported from the worker")
+                return
+            first = False
+            log("supervisor: backend unavailable (terminal recovering?) "
+                "— re-probing in 45s")
+            time.sleep(45.0)
+
     def attempt(self, batch):
         """Run one worker attempt; returns (status, json_or_None).
         status in {'ok', 'retryable', 'unretryable', 'deadline'}."""
@@ -470,6 +506,7 @@ class Supervisor:
         return "unretryable", None
 
     def run(self):
+        self._wait_for_backend()
         batch = self.args.batch
         crash_retried = False
         while batch >= 1:
